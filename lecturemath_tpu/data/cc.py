@@ -1,0 +1,182 @@
+"""Connected components: the universal currency of the pipeline.
+
+A ``CC`` carries a bounding box, a foreground pixel count, and a cropped
+uint8 mask (values 0/255). Semantics match the reference's
+ConnectedComponent (reference: AM_CommonTools/data/connected_component.py:21-403)
+so downstream matching thresholds behave identically, but extraction is
+vectorized (scipy find_objects + bincount) instead of per-pixel Python loops,
+and the hot pairwise-overlap path lives in ops/overlap.py as batched array ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+MIN_CC_PIXELS = 20  # noise floor, matches reference Labeler.MIN_CC_PIXELS (labeler.py:22)
+
+
+@dataclass
+class CC:
+    cc_id: int
+    min_x: int
+    max_x: int
+    min_y: int
+    max_y: int
+    size: int
+    img: np.ndarray  # uint8 crop, 0/255, shape (height, width)
+    start_time: float = 0.0
+    end_time: float = 0.0
+
+    @property
+    def width(self) -> int:
+        return self.max_x - self.min_x + 1
+
+    @property
+    def height(self) -> int:
+        return self.max_y - self.min_y + 1
+
+    def box_area(self) -> int:
+        return self.width * self.height
+
+    def bbox_intersects(self, other: "CC") -> bool:
+        return (self.min_x <= other.max_x and other.min_x <= self.max_x and
+                self.min_y <= other.max_y and other.min_y <= self.max_y)
+
+    def overlap_area(self, other: "CC") -> float:
+        if not self.bbox_intersects(other):
+            return 0.0
+        o_w = min(self.max_x, other.max_x) - max(self.min_x, other.min_x) + 1
+        o_h = min(self.max_y, other.max_y) - max(self.min_y, other.min_y) + 1
+        return o_w * o_h
+
+    def overlap_iou(self, other: "CC") -> float:
+        inter = self.overlap_area(other)
+        union = self.box_area() + other.box_area() - inter
+        return inter / union
+
+    def matched_pixels(self, other: "CC") -> int:
+        """Count of foreground pixels shared by both masks (bbox-cropped)."""
+        if not self.bbox_intersects(other):
+            return 0
+        b_min_x = max(self.min_x, other.min_x)
+        b_max_x = min(self.max_x, other.max_x)
+        b_min_y = max(self.min_y, other.min_y)
+        b_max_y = min(self.max_y, other.max_y)
+
+        mine = self.img[b_min_y - self.min_y:b_max_y - self.min_y + 1,
+                        b_min_x - self.min_x:b_max_x - self.min_x + 1]
+        theirs = other.img[b_min_y - other.min_y:b_max_y - other.min_y + 1,
+                           b_min_x - other.min_x:b_max_x - other.min_x + 1]
+        return int(np.count_nonzero(mine & theirs))
+
+    def overlap_recall_precision(self, other: "CC") -> Tuple[float, float]:
+        """Pixel recall (vs self.size) and precision (vs other.size).
+
+        Mirrors reference getOverlapFMeasure(single_score=False)
+        (connected_component.py:202-250).
+        """
+        match = self.matched_pixels(other)
+        if match == 0:
+            return 0.0, 0.0
+        return match / float(self.size), match / float(other.size)
+
+    def overlap_fmeasure(self, other: "CC") -> float:
+        match = self.matched_pixels(other)
+        return (2.0 * match) / float(self.size + other.size)
+
+
+def extract_ccs(binary: np.ndarray, ages: Optional[np.ndarray] = None,
+                filter_small: bool = True,
+                min_pixels: int = MIN_CC_PIXELS,
+                labels: Optional[np.ndarray] = None,
+                n_labels: Optional[int] = None) -> List[CC]:
+    """Label a binary frame (4-connectivity) and extract per-CC features.
+
+    Replaces the reference's scipy label + ctypes C kernel CC_AgeBoundaries
+    (labeler.py:117-190, accessmath_lib.c:357-413) with vectorized
+    find_objects/bincount; optionally consumes pre-computed labels from the
+    device labeling kernel (ops/cc_label.py).
+    """
+    if labels is None:
+        labels, n_labels = ndimage.label(binary)
+    if n_labels == 0:
+        return []
+
+    slices = ndimage.find_objects(labels, n_labels)
+    counts = np.bincount(labels.ravel(), minlength=n_labels + 1)
+
+    if ages is not None:
+        min_ages = ndimage.minimum(ages, labels, index=np.arange(1, n_labels + 1))
+    else:
+        min_ages = np.zeros(n_labels, dtype=np.float32)
+
+    components = []
+    for cc_id in range(n_labels):
+        count = int(counts[cc_id + 1])
+        if filter_small and count < min_pixels:
+            continue
+        sl = slices[cc_id]
+        if sl is None:
+            continue
+        sy, sx = sl
+        crop = (labels[sy, sx] == cc_id + 1).astype(np.uint8) * 255
+        cc = CC(cc_id, int(sx.start), int(sx.stop) - 1, int(sy.start), int(sy.stop) - 1,
+                count, crop, float(min_ages[cc_id]), float(min_ages[cc_id]))
+        components.append(cc)
+
+    return components
+
+
+def merge_ccs(cc_list: Sequence[CC]) -> CC:
+    """Union a set of CCs into one component (reference: Merge, :90-114)."""
+    min_x = min(cc.min_x for cc in cc_list)
+    max_x = max(cc.max_x for cc in cc_list)
+    min_y = min(cc.min_y for cc in cc_list)
+    max_y = max(cc.max_y for cc in cc_list)
+
+    combined = np.zeros((max_y - min_y + 1, max_x - min_x + 1), dtype=np.uint8)
+    for cc in cc_list:
+        view = combined[cc.min_y - min_y:cc.max_y - min_y + 1,
+                        cc.min_x - min_x:cc.max_x - min_x + 1]
+        view[cc.img > 0] = 255
+
+    merged = CC(min(cc.cc_id for cc in cc_list), min_x, max_x, min_y, max_y,
+                int(np.count_nonzero(combined)), combined)
+    return merged
+
+
+def bbox_array(ccs: Sequence[CC]) -> np.ndarray:
+    """Pack bboxes as int32 [N, 4] = (min_x, max_x, min_y, max_y)."""
+    if not ccs:
+        return np.zeros((0, 4), dtype=np.int32)
+    return np.array([[cc.min_x, cc.max_x, cc.min_y, cc.max_y] for cc in ccs],
+                    dtype=np.int32)
+
+
+def bbox_intersections(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """Boolean [A, B] bbox-overlap matrix; vectorized candidate generation.
+
+    Replaces the reference's dual IntervalIndex sweep (interval_index.py:42-99,
+    cc_stability_estimator.py:73-84): a pair is a candidate iff the x-intervals
+    AND y-intervals both intersect, which is exactly bbox intersection.
+    """
+    if len(boxes_a) == 0 or len(boxes_b) == 0:
+        return np.zeros((len(boxes_a), len(boxes_b)), dtype=bool)
+    a = boxes_a[:, None, :]
+    b = boxes_b[None, :, :]
+    x_overlap = (a[..., 0] <= b[..., 1]) & (b[..., 0] <= a[..., 1])
+    y_overlap = (a[..., 2] <= b[..., 3]) & (b[..., 2] <= a[..., 3])
+    return x_overlap & y_overlap
+
+
+def render_ccs(ccs: Sequence[CC], height: int, width: int) -> np.ndarray:
+    """Paint CC crops back onto a full frame (uint8 additive, like the
+    reference's rebuilt_binary_frame, cc_stability_estimator.py:174-179)."""
+    frame = np.zeros((height, width), dtype=np.uint8)
+    for cc in ccs:
+        frame[cc.min_y:cc.max_y + 1, cc.min_x:cc.max_x + 1] += cc.img
+    return frame

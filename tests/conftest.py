@@ -1,0 +1,11 @@
+"""Test harness: run everything on a virtual 8-device CPU backend so sharded
+code paths are exercised without TPU hardware, and pin matmul precision to
+float32 so parity checks against numpy/torch oracles are meaningful."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "float32")
