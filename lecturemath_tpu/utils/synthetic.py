@@ -1,0 +1,125 @@
+"""Procedural synthetic lectures with known write/erase events.
+
+Used by the test suite as golden-input data (the reference ships no videos)
+and by bench.py to generate deterministic workloads. A synthetic lecture is a
+sequence of binary frames on which "glyphs" (connected blobs standing in for
+handwritten symbols) appear at known times and are erased at known times;
+erase events are the ground-truth segment boundaries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class SyntheticGlyph:
+    mask: np.ndarray       # uint8 0/255 crop
+    x: int                 # top-left placement
+    y: int
+    t_write: int           # first frame the glyph is visible
+    t_erase: Optional[int]  # first frame the glyph is gone (None = stays)
+
+
+def _make_glyph(rng: np.random.Generator, max_h: int, max_w: int) -> np.ndarray:
+    """A connected blob: filled rectangle with random notches carved from the
+    border (stays 4-connected), at least ~40 px."""
+    h = int(rng.integers(8, max_h))
+    w = int(rng.integers(8, max_w))
+    mask = np.full((h, w), 255, dtype=np.uint8)
+    # carve notches from corners/edges without disconnecting the interior
+    for _ in range(int(rng.integers(0, 4))):
+        nh = int(rng.integers(1, max(2, h // 3)))
+        nw = int(rng.integers(1, max(2, w // 3)))
+        corner = rng.integers(0, 4)
+        if corner == 0:
+            mask[:nh, :nw] = 0
+        elif corner == 1:
+            mask[:nh, -nw:] = 0
+        elif corner == 2:
+            mask[-nh:, :nw] = 0
+        else:
+            mask[-nh:, -nw:] = 0
+    return mask
+
+
+def synthetic_lecture(seed: int = 0, n_frames: int = 40, height: int = 96,
+                      width: int = 128, n_boards: int = 2,
+                      glyphs_per_board: int = 5, jitter: float = 0.0,
+                      glyph_size: Tuple[int, int] = (16, 20)):
+    """Generate a synthetic lecture.
+
+    The timeline is split into ``n_boards`` eras; each era writes
+    ``glyphs_per_board`` glyphs at staggered times, then everything is erased
+    at the era boundary (the ground-truth segmentation split).
+
+    Args:
+      jitter: probability of dropping each foreground pixel per frame
+        (exercises the partial-overlap matching thresholds).
+
+    Returns:
+      (frames, glyphs, erase_times): frames is uint8 [T, H, W] (0/255),
+      glyphs is the placed glyph list, erase_times the era boundaries.
+    """
+    rng = np.random.default_rng(seed)
+    max_h, max_w = glyph_size
+
+    era_len = n_frames // n_boards
+    glyphs: List[SyntheticGlyph] = []
+    erase_times = []
+
+    # place glyphs on a coarse grid so they never touch
+    cell_h = max_h + 4
+    cell_w = max_w + 4
+    rows = max(1, (height - 4) // cell_h)
+    cols = max(1, (width - 4) // cell_w)
+    cells = [(r, c) for r in range(rows) for c in range(cols)]
+
+    for board in range(n_boards):
+        t0 = board * era_len
+        t1 = (board + 1) * era_len if board + 1 < n_boards else None
+        if t1 is not None:
+            erase_times.append(t1)
+        rng.shuffle(cells)
+        for k in range(min(glyphs_per_board, len(cells))):
+            r, c = cells[k]
+            mask = _make_glyph(rng, max_h, max_w)
+            x = 2 + c * cell_w + int(rng.integers(0, max(1, cell_w - mask.shape[1] - 1)))
+            y = 2 + r * cell_h + int(rng.integers(0, max(1, cell_h - mask.shape[0] - 1)))
+            t_write = t0 + int(rng.integers(0, max(1, era_len // 2)))
+            glyphs.append(SyntheticGlyph(mask, x, y, t_write, t1))
+
+    frames = np.zeros((n_frames, height, width), dtype=np.uint8)
+    for t in range(n_frames):
+        for glyph in glyphs:
+            if glyph.t_write <= t and (glyph.t_erase is None or t < glyph.t_erase):
+                h, w = glyph.mask.shape
+                region = frames[t, glyph.y:glyph.y + h, glyph.x:glyph.x + w]
+                np.maximum(region, glyph.mask, out=region)
+        if jitter > 0.0:
+            drop = rng.random(frames[t].shape) < jitter
+            frames[t][drop] = 0
+
+    return frames, glyphs, erase_times
+
+
+def synthetic_rgb_lecture(seed: int = 0, n_frames: int = 8, height: int = 96,
+                          width: int = 128, **kwargs):
+    """Whiteboard-style RGB frames: light background, dark ink, mild noise.
+    For exercising the binarization model end-to-end."""
+    frames, glyphs, erase_times = synthetic_lecture(
+        seed, n_frames, height, width, **kwargs)
+    rng = np.random.default_rng(seed + 1)
+    background = np.full((height, width, 3), 230, dtype=np.float32)
+    background += rng.normal(0, 4, (height, width, 3))
+
+    rgb = np.zeros((n_frames, height, width, 3), dtype=np.uint8)
+    for t in range(n_frames):
+        frame = background.copy()
+        ink = frames[t] > 0
+        frame[ink] = rng.normal(35, 10, (int(ink.sum()), 3))
+        rgb[t] = np.clip(frame, 0, 255).astype(np.uint8)
+    return rgb, frames, glyphs, erase_times

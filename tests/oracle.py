@@ -1,0 +1,71 @@
+"""Behavioral-oracle access to the reference implementation.
+
+Runs the reference's own Python (from /root/reference, read-only) against a
+temp dir that holds a freshly compiled accessmath_lib.so (the shipped .so is
+an invalid ELF). Nothing is copied into this repo; the oracle exists purely
+so parity tests can diff our outputs against the reference's actual behavior.
+"""
+
+import os
+import subprocess
+import sys
+
+ORACLE_DIR = "/tmp/lm_oracle"
+REFERENCE_DIR = "/root/reference/ACCESS2021_release"
+
+_ready = False
+
+
+def ensure_oracle():
+    """Compile the C kernel + symlink the reference packages; import-ready."""
+    global _ready
+    if _ready:
+        return
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    so_path = os.path.join(ORACLE_DIR, "accessmath_lib.so")
+    if not os.path.exists(so_path):
+        subprocess.run(
+            ["gcc", "-m64", "-shared", "-fPIC",
+             os.path.join(REFERENCE_DIR, "accessmath_lib.c"), "-o", so_path],
+            check=True)
+    for pkg in ("AccessMath", "AM_CommonTools"):
+        link = os.path.join(ORACLE_DIR, pkg)
+        if not os.path.exists(link):
+            os.symlink(os.path.join(REFERENCE_DIR, pkg), link)
+
+    # the reference loads the .so from CWD and uses names removed in numpy 2
+    os.chdir(ORACLE_DIR)
+    if ORACLE_DIR not in sys.path:
+        sys.path.insert(0, ORACLE_DIR)
+    import numpy as np
+    if not hasattr(np, "bool"):
+        np.bool = bool  # reference keyframe_extractor.py uses np.bool
+    _ready = True
+
+
+def oracle_estimator(width, height, min_recall, min_precision, max_gap):
+    ensure_oracle()
+    from AccessMath.preprocessing.content.cc_stability_estimator import \
+        CCStabilityEstimator
+    return CCStabilityEstimator(width, height, min_recall, min_precision, max_gap)
+
+
+def oracle_video_segmenter():
+    ensure_oracle()
+    import matplotlib
+    matplotlib.use("Agg")
+    from AccessMath.preprocessing.content.video_segmenter import VideoSegmenter
+    return VideoSegmenter
+
+
+def oracle_keyframe_extractor():
+    ensure_oracle()
+    from AccessMath.preprocessing.content.keyframe_extractor import \
+        KeyframeExtractor
+    return KeyframeExtractor
+
+
+def oracle_space_time_struct(*args, **kwargs):
+    ensure_oracle()
+    from AccessMath.data.space_time_struct import SpaceTimeStruct
+    return SpaceTimeStruct(*args, **kwargs)
