@@ -181,6 +181,17 @@ class FCNLectureNet(nn.Module):
 # inference helpers
 # ---------------------------------------------------------------------------
 
+def init_variables(model: FCNLectureNet, rng_key, sample_shape=(1, 32, 32, 3)):
+    """Initialize model variables under jit (eager init compiles every op
+    separately, which is minutes of XLA time; one jitted compile is fast)."""
+    sample = jnp.zeros(sample_shape, jnp.float32)
+
+    @jax.jit
+    def init(key):
+        return model.init(key, sample, train=False)
+
+    return init(rng_key)
+
 def prepare_images(rgb_uint8: jnp.ndarray) -> jnp.ndarray:
     """uint8 RGB [B,H,W,3] -> float in [-1, 1] (reference: prepare_image
     normalizes with mean 0.5 / std 0.5, FCN_lecturenet.py:607-618)."""

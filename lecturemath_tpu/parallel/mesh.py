@@ -1,0 +1,95 @@
+"""Device mesh + sharding layout for multi-chip runs.
+
+The reference is single-process / single-GPU (SURVEY.md §2.11); the natural
+TPU scaling axes here are:
+
+  * ``data``  — batch/frame axis. Frames of a lecture are embarrassingly
+    parallel through the FCN forward; training batches shard the same way.
+  * ``model`` — channel axis of the conv stacks (tensor parallelism). Conv
+    kernels shard on output channels; GSPMD inserts the all-gathers /
+    reduce-scatters on ICI.
+
+Spatial (H) sharding for very large frames rides the same ``model`` axis via
+GSPMD conv spatial partitioning when requested (see parallel/inference.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshSpec:
+    data: int = -1   # -1: all remaining devices
+    model: int = 1
+
+    def resolve(self, n_devices: Optional[int] = None) -> "MeshSpec":
+        n = n_devices if n_devices is not None else len(jax.devices())
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else max(1, n // model)
+        if data * model > n:
+            raise ValueError(f"mesh {data}x{model} needs {data * model} "
+                             f"devices, have {n}")
+        return MeshSpec(data, model)
+
+
+def make_mesh(spec: MeshSpec = MeshSpec(), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    spec = spec.resolve(len(devices))
+    grid = np.asarray(devices[:spec.data * spec.model]).reshape(
+        spec.data, spec.model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Put a host batch (or pytree of arrays) with leading batch axis onto
+    the mesh, sharded over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def _param_spec(path_leaf: str, value) -> P:
+    """Partition spec for one parameter.
+
+    Conv kernels (kh, kw, in, out) and ConvTranspose kernels shard the output
+    -channel (last) axis over 'model' when it divides evenly; 1-D params
+    (bias, BN scale/bias/mean/var) shard the same axis. Everything else
+    replicates.
+    """
+    shape = np.shape(value)
+    if len(shape) == 0:
+        return P()
+    return P(*([None] * (len(shape) - 1) + ["model"]))
+
+
+def params_pspec_tree(params: Any, mesh: Mesh) -> Any:
+    """PartitionSpec tree for a parameter pytree: shard the trailing
+    (channel) axis over 'model' where it divides; replicate otherwise."""
+    model_size = mesh.shape["model"]
+
+    def spec_for(value):
+        shape = np.shape(value)
+        if len(shape) >= 1 and shape[-1] % model_size == 0 and shape[-1] >= model_size:
+            return _param_spec("", value)
+        return P()
+
+    return jax.tree.map(spec_for, params)
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Place a parameter pytree on the mesh with channel-dim tensor
+    parallelism over 'model' (replicated over 'data')."""
+    specs = params_pspec_tree(params, mesh)
+    return jax.tree.map(
+        lambda value, spec: jax.device_put(value, NamedSharding(mesh, spec)),
+        params, specs)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,193 @@
+"""Stage 01 — batched FCN binarization of sampled lecture frames.
+
+The reference runs one U-Net forward per frame at batch 1 with a host<->GPU
+round trip and PNG encode per frame (reference: pre_ST3D_v3.0_01_binarize.py,
+video_worker/FCN_lecturenet_binarizer.py:47-64). Here frames stream in fixed
+batches through one jitted forward (bf16 on the MXU), with JAX's async
+dispatch overlapping host decode with device compute.
+
+Polarity: the raw model output follows the training GT (ink=0 on a 255
+background); the stage artifact is inverted to ink=255 exactly like the
+reference worker (FCN_lecturenet_binarizer.py:54) so downstream CC labeling
+sees foreground ink as nonzero.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..models.convert import load_torch_checkpoint
+from ..models.fcn_lecturenet import FCNConfig, FCNLectureNet, make_binarizer
+from .video import VideoFrameSource
+
+
+def resolve_model_size(width: int, height: int,
+                       max_pixels: int = 2_500_000) -> Tuple[int, int]:
+    """Halve dimensions while the pixel count exceeds the cap (reference:
+    FCN_lecturenet.py:434-437). Returns the (width, height) the model sees."""
+    while width * height > max_pixels:
+        width = int(width / 2)
+        height = int(height / 2)
+    return width, height
+
+
+def default_batch_size(width: int, height: int,
+                       pixel_budget: int = 8_000_000) -> int:
+    """Pick a batch size with roughly constant device memory footprint."""
+    return max(1, pixel_budget // max(1, width * height))
+
+
+class Binarizer:
+    """Batched TPU binarizer for a stream of RGB frames."""
+
+    def __init__(self, model: FCNLectureNet, variables,
+                 batch_size: Optional[int] = None, force_binary: bool = True,
+                 threshold: int = 128):
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+        self.force_binary = force_binary
+        self.threshold = threshold
+        self._binarize_fn = make_binarizer(model, variables,
+                                           force_binary=force_binary,
+                                           threshold=threshold)
+
+    @classmethod
+    def from_config(cls, config: Config, allow_random: bool = False,
+                    dtype=jnp.bfloat16, **kwargs) -> "Binarizer":
+        """Load the model named by BINARIZATION_FCN_LECTURENET_DIR/FILENAME
+        (torch checkpoints are converted on load; .msgpack/orbax dirs are
+        restored natively)."""
+        import os
+
+        net_config = FCNConfig.from_config(config)
+        model = FCNLectureNet(net_config, dtype=dtype)
+
+        model_dir = config.get_str("BINARIZATION_FCN_LECTURENET_DIR", "models")
+        model_file = config.get_str("BINARIZATION_FCN_LECTURENET_FILENAME",
+                                    "LectureNet_model_BIN.dat")
+        path = os.path.join(model_dir, model_file)
+
+        if os.path.exists(path):
+            variables = load_checkpoint_variables(path)
+        elif allow_random:
+            from ..models.fcn_lecturenet import init_variables
+
+            variables = init_variables(
+                model, jax.random.PRNGKey(0),
+                (1, 64, 64, net_config.in_channels))
+        else:
+            raise FileNotFoundError(f"model checkpoint not found: {path}")
+
+        return cls(model, variables, **kwargs)
+
+    # ------------------------------------------------------------ inference
+
+    def binarize_frames(self, frames: np.ndarray) -> np.ndarray:
+        """uint8 RGB [B, H, W, 3] -> uint8 binary [B, H, W] (ink=255)."""
+        binary, _, _ = self._binarize_fn(jnp.asarray(frames))
+        return np.asarray(jax.device_get(binary))
+
+    def process_source(self, source: VideoFrameSource, frames_limit: int = 0,
+                       invert: bool = True):
+        """Run the full stage over a frame source.
+
+        Returns (frame_times, frame_indices, binary_frames) where
+        binary_frames is a list of uint8 [H, W] arrays; when ``invert`` the
+        frames match the reference stage-01 artifact polarity (ink=0).
+        """
+        frame_times: List[float] = []
+        frame_indices: List[int] = []
+        binaries: List[np.ndarray] = []
+
+        first = None
+        batch_iter = None
+        model_size = None
+        pending = []  # (device_result, batch) — drained one behind for overlap
+
+        def drain(entry):
+            device_binary, batch = entry
+            host_binary = np.asarray(jax.device_get(device_binary))
+            for offset in range(batch.valid):
+                img = host_binary[offset]
+                if model_size is not None and model_size != full_size:
+                    import cv2
+                    img = cv2.resize(img, full_size,
+                                     interpolation=cv2.INTER_NEAREST)
+                if invert:
+                    img = 255 - img
+                binaries.append(img)
+            frame_times.extend(batch.times)
+            frame_indices.extend(batch.indices)
+
+        for batch in self._batched(source, frames_limit):
+            if first is None:
+                first = batch
+                h, w = batch.frames.shape[1:3]
+                full_size = (w, h)
+                model_size = resolve_model_size(w, h)
+
+            frames = batch.frames
+            if model_size != full_size:
+                frames = _downscale_batch(frames, model_size)
+
+            device_binary, _, _ = self._binarize_fn(jnp.asarray(frames))
+            pending.append((device_binary, batch))
+            if len(pending) > 1:
+                drain(pending.pop(0))
+
+        for entry in pending:
+            drain(entry)
+
+        return frame_times, frame_indices, binaries
+
+    def _batched(self, source: VideoFrameSource, frames_limit: int):
+        if self.batch_size is not None:
+            batch_size = self.batch_size
+        else:
+            batch_size = None
+        for batch in source.batches(batch_size or 8, frames_limit):
+            if batch_size is None:
+                h, w = batch.frames.shape[1:3]
+                mw, mh = resolve_model_size(w, h)
+                batch_size = default_batch_size(mw, mh)
+            yield batch
+
+
+def _downscale_batch(frames: np.ndarray, model_size: Tuple[int, int]) -> np.ndarray:
+    """Iterative halving with LANCZOS, matching the reference's PIL resize
+    (FCN_lecturenet.py:436 uses PIL.Image.LANCZOS)."""
+    from PIL import Image
+
+    out = np.empty((frames.shape[0], model_size[1], model_size[0], 3), np.uint8)
+    for k in range(frames.shape[0]):
+        img = Image.fromarray(frames[k])
+        while img.size[0] * img.size[1] > 2_500_000:
+            img = img.resize((img.size[0] // 2, img.size[1] // 2),
+                             Image.LANCZOS)
+        out[k] = np.asarray(img)
+    return out
+
+
+def load_checkpoint_variables(path: str):
+    """Load model variables from a torch .dat/.pth state_dict or a flax
+    msgpack file."""
+    if path.endswith((".msgpack", ".flax")):
+        import flax.serialization
+
+        with open(path, "rb") as f:
+            return flax.serialization.msgpack_restore(f.read())
+    return load_torch_checkpoint(path)
+
+
+def save_checkpoint_variables(variables, path: str) -> None:
+    import flax.serialization
+
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(
+            jax.tree.map(np.asarray, variables)))

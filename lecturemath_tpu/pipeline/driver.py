@@ -1,0 +1,170 @@
+"""Pipeline driver: config + lecture DB + stage artifact relay + CLI filters.
+
+Equivalent of the reference ConsoleUIProcess (reference:
+AccessMath/preprocessing/user_interface/console_ui_process.py:13-290) with the
+same CLI surface — ``script config [-l lecture...] [-d dataset...]
+[-i prefix] [-o prefix] [-key value]`` — and the same on-disk artifact tree
+(<OUTPUT_PATH>/<db.temporal>/<prefix><lecture_id>.dat), so reference configs
+and databases run unchanged.
+
+Conscious fix vs the reference: ``-o`` overrides the *output* prefix here
+(the reference buggily overwrites the input prefix, console_ui_process.py:72-73).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Iterator, List, Optional, Sequence, Union
+
+from ..core.artifacts import ArtifactStore
+from ..core.config import Config, parse_cli_overrides
+from ..core.metadata import LectureInfo, MetaDataDB
+from ..core.timing import StageTimer
+
+Prefixes = Union[None, str, List[str]]
+
+
+class PipelineDriver:
+    def __init__(self, config: Config, params: dict,
+                 input_prefixes: Prefixes, output_prefixes: Prefixes):
+        self.config = config
+        self.params = params
+        self.input_prefixes = input_prefixes
+        self.output_prefixes = output_prefixes
+
+        self.database: Optional[MetaDataDB] = None
+        self.current_lecture: Optional[LectureInfo] = None
+        self.timer = StageTimer()
+
+    # --------------------------------------------------------------- setup
+
+    @classmethod
+    def from_config_path(cls, config_path: str, argv: Sequence[str],
+                         input_keys: Prefixes, output_keys: Prefixes
+                         ) -> "PipelineDriver":
+        config = Config.from_file(config_path)
+
+        def resolve(keys):
+            if keys is None:
+                return None
+            if isinstance(keys, list):
+                return [config.get(k) for k in keys]
+            return config.get(keys)
+
+        params = parse_cli_overrides(list(argv))
+        driver = cls(config, params, resolve(input_keys), resolve(output_keys))
+
+        if "i" in params:
+            driver.input_prefixes = params["i"]
+        if "o" in params:
+            driver.output_prefixes = params["o"]
+
+        driver.initialize()
+        return driver
+
+    def initialize(self) -> None:
+        db_path = self.config.get_str("VIDEO_DATABASE_PATH")
+        self.database = MetaDataDB.from_file(db_path)
+
+    # --------------------------------------------------------------- paths
+
+    @property
+    def output_root(self) -> str:
+        return self.config.get_str("OUTPUT_PATH", "output")
+
+    @property
+    def temporal_dir(self) -> str:
+        return os.path.join(self.output_root, self.database.output_temporal)
+
+    @property
+    def images_dir(self) -> str:
+        return os.path.join(self.output_root, self.database.output_images)
+
+    @property
+    def summaries_dir(self) -> str:
+        return os.path.join(self.output_root, self.database.output_summaries)
+
+    @property
+    def store(self) -> ArtifactStore:
+        return ArtifactStore(self.temporal_dir)
+
+    def video_paths(self, lecture: LectureInfo) -> List[str]:
+        video_root = self.config.get_str("VIDEO_FILES_PATH", "")
+        return [os.path.join(video_root, video["path"])
+                for video in lecture.main_videos]
+
+    # ------------------------------------------------------------- lectures
+
+    def iter_lectures(self) -> Iterator[LectureInfo]:
+        only_lectures = self.params.get("l")
+        if only_lectures is not None and not isinstance(only_lectures, list):
+            only_lectures = [only_lectures]
+        if only_lectures is not None:
+            only_lectures = [name.lower() for name in only_lectures]
+
+        dataset_names = self.params.get("d")
+        if dataset_names is not None and not isinstance(dataset_names, list):
+            dataset_names = [dataset_names]
+        dataset_lectures = None
+        if dataset_names is not None:
+            dataset_lectures = set()
+            for name in dataset_names:
+                dataset = self.database.get_dataset(name)
+                if dataset is None:
+                    raise ValueError(f"invalid dataset name <{name}>")
+                dataset_lectures.update(t.lower() for t in dataset.lecture_titles)
+
+        for lecture in self.database.lectures:
+            title = lecture.title.lower()
+            if only_lectures is not None or dataset_lectures is not None:
+                selected = bool(only_lectures and title in only_lectures)
+                selected |= bool(dataset_lectures and title in dataset_lectures)
+                if not selected:
+                    print(f"Skipping <{lecture.title}>")
+                    continue
+            print(f"Processing <{lecture.title}>")
+            self.current_lecture = lecture
+            yield lecture
+
+    # --------------------------------------------------------------- stages
+
+    def load_inputs(self, lecture: LectureInfo) -> Any:
+        if self.input_prefixes is None:
+            return None
+        if isinstance(self.input_prefixes, list):
+            return [self.store.load(prefix, lecture.id)
+                    for prefix in self.input_prefixes]
+        return self.store.load(self.input_prefixes, lecture.id)
+
+    def save_outputs(self, lecture: LectureInfo, results: Any) -> None:
+        if self.output_prefixes is None:
+            return
+        if isinstance(self.output_prefixes, list):
+            for prefix, result in zip(self.output_prefixes, results):
+                self.store.save(result, prefix, lecture.id)
+        else:
+            self.store.save(results, self.output_prefixes, lecture.id)
+
+    def run(self, process_fn: Callable[["PipelineDriver", LectureInfo, Any], Any]
+            ) -> None:
+        """Run a stage function over all selected lectures, relaying
+        artifacts (the start_input_processing equivalent)."""
+        for lecture in self.iter_lectures():
+            inputs = self.load_inputs(lecture)
+            with self.timer.measure(lecture.title):
+                results = process_fn(self, lecture, inputs)
+            print(f"Lecture done in "
+                  f"{self.timer.totals[lecture.title]:.2f}s")
+            self.save_outputs(lecture, results)
+
+
+def usage_check(argv: Sequence[str], require_config: bool = True) -> bool:
+    if len(argv) < 2:
+        print(f"Usage: python {argv[0]} config [options]")
+        print("Options:")
+        print("\t-l [lecture(s)] : process only the given lecture(s)")
+        print("\t-d [dataset(s)] : process only the given dataset(s)")
+        print("\t-i prefix       : override input artifact prefix")
+        print("\t-o prefix       : override output artifact prefix")
+        return False
+    return True

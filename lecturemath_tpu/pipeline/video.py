@@ -1,0 +1,180 @@
+"""Video ingestion: sampled frame streams from lecture videos.
+
+Replaces the reference VideoProcessor's per-frame worker protocol
+(reference: AccessMath/preprocessing/video_processor/video_processor.py:21-200)
+with a batched generator: frames are decoded on host (OpenCV), sampled at the
+target FPS across multiple video files with absolute time/index accounting,
+optionally resized to a forced resolution, and yielded in fixed-size batches
+ready for device upload. Decode overlaps with device compute because JAX
+dispatch is asynchronous.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class FrameBatch:
+    frames: np.ndarray        # uint8 [B, H, W, 3] RGB
+    times: List[float]        # absolute time in ms
+    indices: List[int]        # absolute frame index across all files
+    valid: int                # number of real frames (rest is padding)
+
+
+class VideoFrameSource:
+    """Decode + sample frames from a list of video files."""
+
+    def __init__(self, video_paths: Sequence[str], sampling_fps: float,
+                 forced_resolution: Optional[Tuple[int, int]] = None):
+        self.video_paths = list(video_paths)
+        self.sampling_fps = sampling_fps
+        self.forced_resolution = forced_resolution  # (width, height)
+
+    def frames(self, frames_limit: int = 0) -> Iterator[Tuple[float, int, np.ndarray]]:
+        import cv2
+
+        abs_index_offset = 0
+        abs_time_offset = 0.0
+        emitted = 0
+
+        for path in self.video_paths:
+            capture = cv2.VideoCapture(path)
+            if not capture.isOpened():
+                raise IOError(f"cannot open video: {path}")
+            video_fps = capture.get(cv2.CAP_PROP_FPS) or 30.0
+            step = max(1, int(round(video_fps / self.sampling_fps)))
+
+            frame_idx = 0
+            while True:
+                grabbed = capture.grab()
+                if not grabbed:
+                    break
+                if frame_idx % step == 0:
+                    ok, frame = capture.retrieve()
+                    if not ok:
+                        break
+                    if self.forced_resolution is not None:
+                        fw, fh = self.forced_resolution
+                        if (frame.shape[1], frame.shape[0]) != (fw, fh):
+                            frame = cv2.resize(frame, (fw, fh))
+                    # BGR -> RGB
+                    frame = frame[:, :, ::-1]
+                    abs_time = abs_time_offset + (frame_idx / video_fps) * 1000.0
+                    yield abs_time, abs_index_offset + frame_idx, frame
+                    emitted += 1
+                    if frames_limit and emitted >= frames_limit:
+                        capture.release()
+                        return
+                frame_idx += 1
+
+            total_time = (frame_idx / video_fps) * 1000.0
+            abs_index_offset += frame_idx
+            abs_time_offset += total_time
+            capture.release()
+
+    def batches(self, batch_size: int, frames_limit: int = 0,
+                pad_last: bool = True) -> Iterator[FrameBatch]:
+        buffer: List[Tuple[float, int, np.ndarray]] = []
+        for item in self.frames(frames_limit):
+            buffer.append(item)
+            if len(buffer) == batch_size:
+                yield self._pack(buffer, batch_size, pad_last)
+                buffer = []
+        if buffer:
+            yield self._pack(buffer, batch_size, pad_last)
+
+    @staticmethod
+    def _pack(buffer, batch_size: int, pad_last: bool) -> FrameBatch:
+        valid = len(buffer)
+        frames = np.stack([f for _, _, f in buffer])
+        if pad_last and valid < batch_size:
+            pad = np.repeat(frames[-1:], batch_size - valid, axis=0)
+            frames = np.concatenate([frames, pad])
+        return FrameBatch(frames=frames,
+                          times=[t for t, _, _ in buffer],
+                          indices=[i for _, i, _ in buffer],
+                          valid=valid)
+
+
+class ImageListSource(VideoFrameSource):
+    """Frame source over a directory of pre-exported frames with an
+    index.json metadata file (reference: image_list_processor.py:7-81)."""
+
+    def __init__(self, image_dir: str, img_extension: str = ".png",
+                 forced_resolution: Optional[Tuple[int, int]] = None):
+        self.image_dir = image_dir
+        self.img_extension = img_extension
+        self.forced_resolution = forced_resolution
+
+        index_path = os.path.join(image_dir, "index.json")
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                self.index = json.load(f)
+        else:
+            self.index = None
+
+    def frames(self, frames_limit: int = 0):
+        import cv2
+
+        if self.index is not None:
+            entries = [(e.get("abs_time", k * 1000.0), e.get("abs_index", k),
+                        e["file"]) for k, e in enumerate(self.index["frames"])]
+        else:
+            files = sorted(f for f in os.listdir(self.image_dir)
+                           if f.endswith(self.img_extension))
+            entries = [(k * 1000.0, k, f) for k, f in enumerate(files)]
+
+        for count, (abs_time, abs_index, filename) in enumerate(entries):
+            if frames_limit and count >= frames_limit:
+                return
+            frame = cv2.imread(os.path.join(self.image_dir, filename))
+            if self.forced_resolution is not None:
+                fw, fh = self.forced_resolution
+                if (frame.shape[1], frame.shape[0]) != (fw, fh):
+                    frame = cv2.resize(frame, (fw, fh))
+            yield abs_time, abs_index, frame[:, :, ::-1]
+
+
+class ArraySource(VideoFrameSource):
+    """Frame source over an in-memory uint8 [T, H, W, 3] array (testing and
+    synthetic benchmarks)."""
+
+    def __init__(self, frames: np.ndarray, fps: float = 1.0):
+        self.array = frames
+        self.fps = fps
+        self.forced_resolution = None
+
+    def frames(self, frames_limit: int = 0):
+        n = len(self.array)
+        if frames_limit:
+            n = min(n, frames_limit)
+        for t in range(n):
+            yield (t / self.fps) * 1000.0, t, self.array[t]
+
+
+def compress_png(frames: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """In-memory PNG encoding for reference-compatible stage artifacts
+    (reference stores stage-01 output PNG-compressed,
+    FCN_lecturenet_binarizer.py:56)."""
+    import cv2
+
+    out = []
+    for frame in frames:
+        ok, data = cv2.imencode(".png", frame)
+        if not ok:
+            raise RuntimeError("PNG encode failed")
+        out.append(data)
+    return out
+
+
+def decompress_png(buffers: Sequence[np.ndarray]) -> List[np.ndarray]:
+    import cv2
+
+    return [cv2.imdecode(np.asarray(buf), cv2.IMREAD_GRAYSCALE)
+            for buf in buffers]

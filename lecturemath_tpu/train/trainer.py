@@ -1,0 +1,231 @@
+"""Sharded training loop for FCN-LectureNet.
+
+Reference training surface (lecturenet_train_00/01/02): SGD (momentum 0) with
+per-phase learning rates/epochs from config, periodic backup checkpoints,
+final state save. TPU-native execution: one jitted train step with donated
+state, batch sharded over the mesh 'data' axis and conv channels over
+'model' (parallel/mesh.py); BatchNorm batch stats are cross-replica via
+flax's axis_name sync when data-parallel.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import Config
+from ..models.fcn_lecturenet import FCNConfig, FCNLectureNet
+from ..parallel.mesh import make_mesh, MeshSpec, params_pspec_tree
+from .losses import phase_losses
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class Trainer:
+    def __init__(self, model: FCNLectureNet, learning_rate: float,
+                 momentum: float = 0.0, phase: str = "binarizer",
+                 mesh: Optional[Mesh] = None, use_weights: bool = False):
+        self.model = model
+        self.phase = phase
+        self.mesh = mesh
+        self.use_weights = use_weights
+        self.optimizer = optax.sgd(learning_rate, momentum=momentum)
+        self._train_step = make_train_step(model, self.optimizer, phase,
+                                           use_weights)
+
+    # ------------------------------------------------------------- state
+
+    def init_state(self, rng_key, sample_shape=(1, 256, 256, 3),
+                   variables: Optional[Dict] = None) -> TrainState:
+        if variables is None:
+            from ..models.fcn_lecturenet import init_variables
+
+            variables = init_variables(self.model, rng_key, sample_shape)
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats,
+                           opt_state=self.optimizer.init(params))
+        if self.mesh is not None:
+            state = self.shard_state(state)
+        return state
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        mesh = self.mesh
+        pspecs = params_pspec_tree(state.params, mesh)
+
+        def put(tree, specs):
+            return jax.tree.map(
+                lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+                tree, specs)
+
+        return TrainState(
+            step=jax.device_put(state.step, NamedSharding(mesh, P())),
+            params=put(state.params, pspecs),
+            batch_stats=jax.tree.map(
+                lambda v: jax.device_put(v, NamedSharding(mesh, P())),
+                state.batch_stats),
+            opt_state=jax.tree.map(
+                lambda v: jax.device_put(v, NamedSharding(mesh, P())),
+                state.opt_state),
+        )
+
+    def shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        sharding = NamedSharding(self.mesh, P("data"))
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    # -------------------------------------------------------------- steps
+
+    def step(self, state: TrainState, batch) -> tuple:
+        return self._train_step(state, self.shard_batch(batch))
+
+    def train_epoch(self, state: TrainState, dataset, batch_size: int):
+        losses = []
+        for batch in dataset.batches(batch_size):
+            state, metrics = self.step(state, batch)
+            losses.append(metrics)
+        if not losses:
+            return state, {}
+        mean = {k: float(np.mean([jax.device_get(m[k]) for m in losses]))
+                for k in losses[0]}
+        return state, mean
+
+    # -------------------------------------------------------- checkpoints
+
+    def save(self, state: TrainState, path: str) -> None:
+        from ..pipeline.binarize import save_checkpoint_variables
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        save_checkpoint_variables(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)}, path)
+
+    def load_variables(self, path: str):
+        from ..pipeline.binarize import load_checkpoint_variables
+
+        return load_checkpoint_variables(path)
+
+
+def make_train_step(model: FCNLectureNet, optimizer, phase: str,
+                    use_weights: bool = False) -> Callable:
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            outputs, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"])
+            terms = phase_losses(phase, outputs, batch, use_weights)
+            total = sum(terms.values())
+            return total, (terms, updates["batch_stats"])
+
+        (total, (terms, new_stats)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(terms, total=total)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats,
+                          opt_state=new_opt_state), metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------- phases
+
+@dataclass
+class PhaseSpec:
+    """Per-phase config keys (reference: configs/FCN_LectureNet.conf:31-106)."""
+    name: str
+    lr_key: str
+    epochs_key: str
+    output_key: str
+    default_lr: float
+    default_epochs: int
+    backup_every: int
+    reconstruction_mode: bool
+
+
+PHASES = {
+    "reconstruction": PhaseSpec(
+        "reconstruction", "FCN_BINARIZER_PRETRAIN_REC_LEARNING_RATE",
+        "FCN_BINARIZER_PRETRAIN_REC_EPOCHS",
+        "FCN_BINARIZER_PRETRAIN_RECONSTRUCTION_OUTPUT", 0.01, 100, 2, True),
+    "text_detector": PhaseSpec(
+        "text_detector", "FCN_BINARIZER_PRETRAIN_LEARNING_RATE",
+        "FCN_BINARIZER_PRETRAIN_EPOCHS",
+        "FCN_BINARIZER_PRETRAIN_TEXT_OUTPUT", 0.01, 100, 5, False),
+    "binarizer": PhaseSpec(
+        "binarizer", "FCN_BINARIZER_TRAIN_LEARNING_RATE",
+        "FCN_BINARIZER_TRAIN_EPOCHS",
+        "FCN_BINARIZER_TRAIN_OUTPUT", 0.001, 200, 5, False),
+}
+
+
+def run_phase(config: Config, phase_name: str, dataset,
+              warm_start_path: Optional[str] = None,
+              mesh_spec: Optional[MeshSpec] = None,
+              epochs_override: Optional[int] = None,
+              batch_size_override: Optional[int] = None,
+              verbose: bool = True) -> str:
+    """Run one curriculum phase end-to-end; returns the checkpoint path.
+
+    Mirrors the reference trainers' flow: build/warm-start the model, SGD
+    over epochs with periodic .bak checkpoints, save the final state to the
+    phase's configured output path.
+    """
+    spec = PHASES[phase_name]
+    net_config = FCNConfig.from_config(config)
+    model = FCNLectureNet(net_config,
+                          reconstruction_mode=spec.reconstruction_mode)
+
+    mesh = make_mesh(mesh_spec) if mesh_spec is not None else None
+    lr = config.get_float(spec.lr_key, spec.default_lr)
+    epochs = epochs_override or config.get_int(spec.epochs_key,
+                                               spec.default_epochs)
+    if batch_size_override is not None:
+        batch_size = batch_size_override
+    elif phase_name == "binarizer":
+        batch_size = config.get_int("FCN_BINARIZER_TRAIN_BATCH_SIZE", 8)
+    else:
+        batch_size = config.get_int("FCN_BINARIZER_PRETRAIN_BATCH_SIZE", 8)
+
+    trainer = Trainer(model, lr, phase=phase_name, mesh=mesh)
+
+    variables = None
+    if warm_start_path is not None and os.path.exists(warm_start_path):
+        variables = trainer.load_variables(warm_start_path)
+    crop = config.get("FCN_BINARIZER_TRAIN_CROP_SIZE", (256, 256))
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               (1, crop[0], crop[1], net_config.in_channels),
+                               variables)
+
+    out_path = config.get_str(spec.output_key,
+                              f"models/lecturenet_{phase_name}.msgpack")
+    for epoch in range(epochs):
+        state, metrics = trainer.train_epoch(state, dataset, batch_size)
+        if verbose:
+            printable = ", ".join(f"{k}={v:.5f}" for k, v in metrics.items())
+            print(f"[{phase_name}] epoch {epoch + 1}/{epochs}: {printable}")
+        if (epoch + 1) % spec.backup_every == 0:
+            trainer.save(state, out_path + f".epoch_{epoch + 1}.bak")
+
+    trainer.save(state, out_path)
+    return out_path

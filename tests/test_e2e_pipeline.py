@@ -1,0 +1,193 @@
+"""End-to-end pipeline integration: synthetic lecture -> stage 02 -> 03 ->
+04 -> 05 -> exported summary, checked against the synthetic ground truth."""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from lecturemath_tpu.core.config import Config
+from lecturemath_tpu.core.metadata import MetaDataDB
+from lecturemath_tpu.pipeline.driver import PipelineDriver
+from lecturemath_tpu.pipeline.stages import (stage02_cc_analysis,
+                                             stage03_cc_grouping,
+                                             stage04_segmentation,
+                                             stage04_input_keys,
+                                             stage05_summary)
+from lecturemath_tpu.pipeline.video import (ArraySource, VideoFrameSource,
+                                            compress_png, decompress_png)
+from lecturemath_tpu.utils.synthetic import synthetic_lecture
+
+DB_XML = """<AccessMath>
+  <DataBase>
+    <Name>SynthDB</Name>
+    <OutputPaths>
+      <Temporal>temporal</Temporal>
+      <Images>images</Images>
+      <Videos>videos</Videos>
+      <Annotations>annotations</Annotations>
+      <Summaries>summaries</Summaries>
+    </OutputPaths>
+    <Datasets>
+      <Training><LectureTitle>synth01</LectureTitle></Training>
+    </Datasets>
+    <Lectures>
+      <Lecture>
+        <Id>synth01</Id>
+        <Title>synth01</Title>
+        <Parameters></Parameters>
+        <Videos><Main><Video><Path>synth01.avi</Path></Video></Main></Videos>
+      </Lecture>
+    </Lectures>
+  </DataBase>
+</AccessMath>
+"""
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    (root / "db.xml").write_text(DB_XML)
+    conf_lines = [
+        f"VIDEO_DATABASE_PATH = {root}/db.xml",
+        f"VIDEO_FILES_PATH = {root}/videos",
+        f"OUTPUT_PATH = {root}/output",
+        "BINARIZATION_OUTPUT = tempo_binary_",
+        "CC_STABILITY_OUTPUT = tempo_stability_",
+        "CC_RECONSTRUCTED_OUTPUT = tempo_bin_reconstructed_",
+        "CC_CONFLICTS_OUTPUT = tempo_cc_conflicts_",
+        "CC_ST3D_OUTPUT = tempo_cc_ST3D_",
+        "VIDEO_SEGMENTATION_OUTPUT = tempo_intervals_",
+        "SUMMARY_KEYFRAMES_OUTPUT = tempo_segments_",
+        "CC_STABILITY_MIN_RECALL = 0.85",
+        "CC_STABILITY_MIN_PRECISION = 0.85",
+        "CC_STABILITY_MAX_GAP = 10",
+        "CC_STABILITY_MIN_TIMES = 3",
+        "CC_GROUPING_MIN_IMAGE_THRESHOLD = 0.5",
+        "CC_GROUPING_TEMPORAL_WINDOW = 5",
+        "CC_GROUPING_MIN_RECALL = 0.5",
+        "VIDEO_SEGMENTATION_METHOD = 3",
+        "VIDEO_SEGMENTATION_DEL_EVENT_MIN_LENGTH = 3",
+        "VIDEO_SEGMENTATION_DEL_EVENT_ADD_THRESHOLD = 0.00005",
+        "VIDEO_SEGMENTATION_DEL_EVENT_THRESHOLD = 0.0008",
+        "SAMPLING_FPS = 1.0",
+    ]
+    (root / "test.conf").write_text("\n".join(conf_lines))
+    return root
+
+
+@pytest.fixture(scope="module")
+def synthetic(workspace):
+    frames, glyphs, erase_times = synthetic_lecture(
+        seed=11, n_frames=40, height=96, width=128, n_boards=2,
+        glyphs_per_board=5, jitter=0.0)
+    return frames, glyphs, erase_times
+
+
+def make_driver(workspace, input_keys, output_keys, argv=()):
+    return PipelineDriver.from_config_path(str(workspace / "test.conf"),
+                                           list(argv), input_keys, output_keys)
+
+
+def test_stage01_artifact_from_synthetic_binary(workspace, synthetic):
+    """Emulate the stage-01 artifact (ink=255 binary, PNG-compressed) from
+    the synthetic binary frames and store it with the driver's store."""
+    frames, _, _ = synthetic
+    driver = make_driver(workspace, None, "BINARIZATION_OUTPUT")
+    times = [1000.0 * t for t in range(len(frames))]
+    indices = [30 * t for t in range(len(frames))]
+    lecture = driver.database.lectures[0]
+    driver.save_outputs(lecture, (times, indices, compress_png(list(frames))))
+    assert driver.store.exists("tempo_binary_", "synth01")
+
+    # round trip through PNG must be lossless
+    reloaded = driver.store.load("tempo_binary_", "synth01")
+    np.testing.assert_array_equal(decompress_png(reloaded[2])[0], frames[0])
+
+
+def test_stage02(workspace, synthetic):
+    driver = make_driver(workspace, "BINARIZATION_OUTPUT", "CC_STABILITY_OUTPUT")
+    driver.run(stage02_cc_analysis)
+
+    _, _, tracker = driver.store.load("tempo_stability_", "synth01")
+    frames, glyphs, _ = synthetic
+    # every glyph is a stable unique CC; no jitter means exact re-sighting
+    assert len(tracker.unique_ccs) == len(glyphs)
+
+
+def test_stage03(workspace, synthetic):
+    driver = make_driver(
+        workspace, "CC_STABILITY_OUTPUT",
+        ["CC_RECONSTRUCTED_OUTPUT", "CC_CONFLICTS_OUTPUT", "CC_ST3D_OUTPUT"])
+    driver.run(stage03_cc_grouping)
+
+    st3d = driver.store.load("tempo_cc_ST3D_", "synth01")
+    frames, glyphs, _ = synthetic
+    assert len(st3d.group_ages) > 0
+    assert st3d.height == 96 and st3d.width == 128
+
+
+def test_stage04(workspace, synthetic):
+    config = Config.from_file(str(workspace / "test.conf"))
+    driver = make_driver(workspace, stage04_input_keys(config),
+                         "VIDEO_SEGMENTATION_OUTPUT")
+    driver.run(stage04_segmentation)
+
+    intervals = driver.store.load("tempo_intervals_", "synth01")
+    frames, glyphs, erase_times = synthetic
+    # the board erase at frame 20 must split the video in two
+    assert len(intervals) == 2
+    split_point = intervals[0][1]
+    assert abs(split_point - erase_times[0]) <= 3
+
+
+def test_stage05(workspace, synthetic):
+    driver = make_driver(workspace,
+                         ["CC_ST3D_OUTPUT", "VIDEO_SEGMENTATION_OUTPUT"],
+                         "SUMMARY_KEYFRAMES_OUTPUT")
+    driver.run(stage05_summary)
+
+    frames, glyphs, _ = synthetic
+    (indices, times, keyframes), = \
+        driver.store.load("tempo_segments_", "synth01")
+    assert len(keyframes) == 2
+
+    # each keyframe must contain exactly its board's content:
+    # compare against the last synthetic frame of each era (ink black on white)
+    for keyframe, last_frame_idx in zip(keyframes, (19, 39)):
+        expected = 255 - frames[last_frame_idx]
+        np.testing.assert_array_equal(keyframe[:, :, 0], expected)
+
+    # exported summary exists and parses
+    summary_dir = os.path.join(str(driver.summaries_dir), "SynthDB_synth01")
+    root = ET.parse(os.path.join(summary_dir, "segments.xml")).getroot()
+    assert len(root.find("VideoKeyFrames")) == 2
+
+
+def test_video_frame_source_sampling(tmp_path, synthetic):
+    """Write a real 30fps clip and check 1-FPS sampling + accounting."""
+    import cv2
+
+    frames, _, _ = synthetic
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30.0,
+                             (128, 96))
+    rgb = np.stack([frames[0]] * 3, axis=-1)
+    for _ in range(90):  # 3 seconds
+        writer.write(rgb)
+    writer.release()
+
+    source = VideoFrameSource([path], sampling_fps=1.0)
+    sampled = list(source.frames())
+    assert len(sampled) == 3
+    times = [t for t, _, _ in sampled]
+    indices = [i for _, i, _ in sampled]
+    assert indices == [0, 30, 60]
+    assert times == [0.0, 1000.0, 2000.0]
+    assert sampled[0][2].shape == (96, 128, 3)
+
+    batches = list(source.batches(batch_size=2))
+    assert batches[0].frames.shape == (2, 96, 128, 3)
+    assert batches[1].valid == 1
+    assert batches[1].frames.shape == (2, 96, 128, 3)  # padded
