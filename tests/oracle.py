@@ -40,6 +40,26 @@ def ensure_oracle():
     import numpy as np
     if not hasattr(np, "bool"):
         np.bool = bool  # reference keyframe_extractor.py uses np.bool
+
+    # shapely isn't in the image; the reference only needs Polygon as a
+    # container for annotation polygons in the paths we exercise
+    if "shapely" not in sys.modules:
+        import types
+
+        class _Polygon:
+            def __init__(self, points):
+                self.points = points
+
+            def __str__(self):
+                return f"Polygon({len(self.points)} pts)"
+
+        geometry = types.ModuleType("shapely.geometry")
+        geometry.Polygon = _Polygon
+        shapely = types.ModuleType("shapely")
+        shapely.geometry = geometry
+        sys.modules["shapely"] = shapely
+        sys.modules["shapely.geometry"] = geometry
+
     _ready = True
 
 
