@@ -93,14 +93,22 @@ def extract_ccs(binary: np.ndarray, ages: Optional[np.ndarray] = None,
                 filter_small: bool = True,
                 min_pixels: int = MIN_CC_PIXELS,
                 labels: Optional[np.ndarray] = None,
-                n_labels: Optional[int] = None) -> List[CC]:
+                n_labels: Optional[int] = None,
+                use_native: bool = True) -> List[CC]:
     """Label a binary frame (4-connectivity) and extract per-CC features.
 
     Replaces the reference's scipy label + ctypes C kernel CC_AgeBoundaries
-    (labeler.py:117-190, accessmath_lib.c:357-413) with vectorized
-    find_objects/bincount; optionally consumes pre-computed labels from the
-    device labeling kernel (ops/cc_label.py).
+    (labeler.py:117-190, accessmath_lib.c:357-413). Fast path: one fused
+    C++ label+stats call (native/lecturemath_native.cpp); fallback:
+    vectorized scipy find_objects/bincount. Optionally consumes
+    pre-computed labels from the device labeling kernel (ops/cc_label.py).
     """
+    if labels is None and use_native:
+        from .. import native
+
+        if native.available():
+            return _extract_ccs_native(binary, ages, filter_small, min_pixels)
+
     if labels is None:
         labels, n_labels = ndimage.label(binary)
     if n_labels == 0:
@@ -128,6 +136,23 @@ def extract_ccs(binary: np.ndarray, ages: Optional[np.ndarray] = None,
                 count, crop, float(min_ages[cc_id]), float(min_ages[cc_id]))
         components.append(cc)
 
+    return components
+
+
+def _extract_ccs_native(binary: np.ndarray, ages: Optional[np.ndarray],
+                        filter_small: bool, min_pixels: int) -> List[CC]:
+    from .. import native
+
+    labels, stats, min_ages = native.label_and_stats(binary, ages)
+    components = []
+    for cc_id in range(len(stats)):
+        min_x, max_x, min_y, max_y, size = (int(v) for v in stats[cc_id])
+        if filter_small and size < min_pixels:
+            continue
+        crop = (labels[min_y:max_y + 1, min_x:max_x + 1] == cc_id + 1)
+        age = float(min_ages[cc_id]) if ages is not None else 0.0
+        components.append(CC(cc_id, min_x, max_x, min_y, max_y, size,
+                             crop.astype(np.uint8) * 255, age, age))
     return components
 
 

@@ -35,8 +35,18 @@ def self_candidate_pairs(ccs: Sequence[CC]) -> np.ndarray:
 
 
 def pairwise_overlap(ccs_a: Sequence[CC], ccs_b: Sequence[CC],
-                     pairs: np.ndarray) -> np.ndarray:
-    """Matched-pixel counts (int64 [P]) for each candidate pair."""
+                     pairs: np.ndarray, use_native: bool = True) -> np.ndarray:
+    """Matched-pixel counts (int64 [P]) for each candidate pair.
+
+    Fast path: one native C++ call over packed mask crops
+    (native/lecturemath_native.cpp batch_mask_overlap)."""
+    if use_native and len(pairs) > 8:
+        from .. import native
+
+        if native.available():
+            return native.batch_overlap(native.PackedMasks(ccs_a),
+                                        native.PackedMasks(ccs_b), pairs)
+
     matches = np.zeros(len(pairs), dtype=np.int64)
     for k, (ia, ib) in enumerate(pairs):
         matches[k] = ccs_a[ia].matched_pixels(ccs_b[ib])
