@@ -1,0 +1,48 @@
+"""TD-PT: pretrain all three branches on text-detection data.
+
+Usage: python -m lecturemath_tpu.cli.train_text_detector <config>
+(reference equivalent: lecturenet_train_01_pretrain_text_detector.py)
+"""
+
+import os
+import sys
+
+from ..core.config import Config
+from ..train.dataset import LectureNetDataset, find_image_mask_pairs
+from ..train.trainer import run_phase
+
+
+def main(argv=None):
+    argv = sys.argv if argv is None else argv
+    if len(argv) < 2:
+        print(f"Usage: python {argv[0]} config")
+        return
+
+    config = Config.from_file(argv[1])
+    images, masks = find_image_mask_pairs(
+        config.get_str("FCN_BINARIZER_PRETRAIN_IMAGES_DIR"),
+        config.get_str("FCN_BINARIZER_PRETRAIN_MASKS_DIR"))
+    print(f"Training text detector on {len(images)} image/mask pairs")
+
+    dataset = LectureNetDataset.from_config(
+        config, images, masks, reconstruction_mode=False,
+        reconstruct_median=config.get_bool("FCN_BINARIZER_PRETRAIN_REC_MEDIAN",
+                                           True))
+    if config.get_bool("FCN_BINARIZER_PRETRAIN_PRELOAD_IMAGES", False):
+        dataset.preload(verbose=True)
+
+    warm_start = None
+    if config.get_bool("FCN_BINARIZER_PRETRAIN_USE_RECONSTRUCTION_OUTPUT",
+                       False):
+        warm_start = os.path.join(
+            config.get_str("OUTPUT_PATH"),
+            config.get_str("FCN_BINARIZER_PRETRAIN_RECONSTRUCTION_OUTPUT"))
+
+    out = run_phase(config, "text_detector", dataset,
+                    warm_start_path=warm_start,
+                    warm_start_is_reconstruction=True)
+    print(f"Saved: {out}")
+
+
+if __name__ == "__main__":
+    main()

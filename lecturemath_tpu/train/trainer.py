@@ -39,14 +39,25 @@ class TrainState:
 class Trainer:
     def __init__(self, model: FCNLectureNet, learning_rate: float,
                  momentum: float = 0.0, phase: str = "binarizer",
-                 mesh: Optional[Mesh] = None, use_weights: bool = False):
+                 mesh: Optional[Mesh] = None, use_weights: bool = False,
+                 freeze_bn: bool = False, clip_norm: Optional[float] = None):
+        """freeze_bn mirrors the reference's warm-start behavior: the torch
+        trainers call .eval() after loading a pretrained model and never
+        switch back, so BatchNorm uses (and does not update) running stats
+        for the whole phase (reference: lecturenet_train_01:106-122,
+        train_02:164-188)."""
         self.model = model
         self.phase = phase
         self.mesh = mesh
         self.use_weights = use_weights
-        self.optimizer = optax.sgd(learning_rate, momentum=momentum)
+        self.freeze_bn = freeze_bn
+        transforms = []
+        if clip_norm is not None:
+            transforms.append(optax.clip_by_global_norm(clip_norm))
+        transforms.append(optax.sgd(learning_rate, momentum=momentum))
+        self.optimizer = optax.chain(*transforms)
         self._train_step = make_train_step(model, self.optimizer, phase,
-                                           use_weights)
+                                           use_weights, freeze_bn)
 
     # ------------------------------------------------------------- state
 
@@ -124,16 +135,23 @@ class Trainer:
 
 
 def make_train_step(model: FCNLectureNet, optimizer, phase: str,
-                    use_weights: bool = False) -> Callable:
+                    use_weights: bool = False,
+                    freeze_bn: bool = False) -> Callable:
     @jax.jit
     def train_step(state: TrainState, batch):
         def loss_fn(params):
-            outputs, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["image"], train=True, mutable=["batch_stats"])
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if freeze_bn:
+                outputs = model.apply(variables, batch["image"], train=False)
+                new_stats = state.batch_stats
+            else:
+                outputs, updates = model.apply(variables, batch["image"],
+                                               train=True,
+                                               mutable=["batch_stats"])
+                new_stats = updates["batch_stats"]
             terms = phase_losses(phase, outputs, batch, use_weights)
             total = sum(terms.values())
-            return total, (terms, updates["batch_stats"])
+            return total, (terms, new_stats)
 
         (total, (terms, new_stats)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -179,17 +197,43 @@ PHASES = {
 }
 
 
+def reset_main_branches(variables, net_config: FCNConfig, rng_key):
+    """Fresh-init the binarization + text-mask head parameters while keeping
+    the trunk (reference: FCN_LectureNet.reset_main_branches,
+    FCN_lecturenet.py:203-211 — used when warm-starting from the
+    reconstruction pretrain)."""
+    fresh = init_variables_for(net_config, rng_key)
+    out = {"params": dict(variables["params"]),
+           "batch_stats": dict(variables["batch_stats"])}
+    for head in ("pixels_1", "pixels_2", "text_conv", "text_bn",
+                 "out_conv", "out_bn"):
+        out["params"][head] = fresh["params"][head]
+        if head in fresh["batch_stats"]:
+            out["batch_stats"][head] = fresh["batch_stats"][head]
+    return out
+
+
+def init_variables_for(net_config: FCNConfig, rng_key):
+    from ..models.fcn_lecturenet import init_variables
+
+    model = FCNLectureNet(net_config)
+    return init_variables(model, rng_key,
+                          (1, 32, 32, net_config.in_channels))
+
+
 def run_phase(config: Config, phase_name: str, dataset,
               warm_start_path: Optional[str] = None,
+              warm_start_is_reconstruction: bool = False,
               mesh_spec: Optional[MeshSpec] = None,
               epochs_override: Optional[int] = None,
               batch_size_override: Optional[int] = None,
               verbose: bool = True) -> str:
     """Run one curriculum phase end-to-end; returns the checkpoint path.
 
-    Mirrors the reference trainers' flow: build/warm-start the model, SGD
-    over epochs with periodic .bak checkpoints, save the final state to the
-    phase's configured output path.
+    Mirrors the reference trainers' flow: build/warm-start the model (with
+    head reset when starting from the reconstruction pretrain, and BN
+    frozen on any warm start), SGD over epochs with periodic .bak
+    checkpoints, save the final state to the phase's configured output path.
     """
     spec = PHASES[phase_name]
     net_config = FCNConfig.from_config(config)
@@ -207,11 +251,23 @@ def run_phase(config: Config, phase_name: str, dataset,
     else:
         batch_size = config.get_int("FCN_BINARIZER_PRETRAIN_BATCH_SIZE", 8)
 
-    trainer = Trainer(model, lr, phase=phase_name, mesh=mesh)
-
     variables = None
+    warm_started = False
     if warm_start_path is not None and os.path.exists(warm_start_path):
-        variables = trainer.load_variables(warm_start_path)
+        from ..pipeline.binarize import load_checkpoint_variables
+
+        variables = load_checkpoint_variables(warm_start_path)
+        warm_started = True
+        if warm_start_is_reconstruction:
+            variables = reset_main_branches(variables, net_config,
+                                            jax.random.PRNGKey(1))
+        if verbose:
+            print(f"[{phase_name}] warm start from {warm_start_path}"
+                  f"{' (heads reset)' if warm_start_is_reconstruction else ''}")
+
+    trainer = Trainer(model, lr, phase=phase_name, mesh=mesh,
+                      freeze_bn=warm_started)
+
     crop = config.get("FCN_BINARIZER_TRAIN_CROP_SIZE", (256, 256))
     state = trainer.init_state(jax.random.PRNGKey(0),
                                (1, crop[0], crop[1], net_config.in_channels),

@@ -1,0 +1,137 @@
+"""Training stack: dataset augmentation outputs, phase losses, and a few
+optimization steps on the tiny model per phase."""
+
+import jax
+import numpy as np
+import pytest
+
+from lecturemath_tpu.core.config import Config
+from lecturemath_tpu.models.fcn_lecturenet import FCNConfig, FCNLectureNet
+from lecturemath_tpu.train.dataset import LectureNetDataset
+from lecturemath_tpu.train.trainer import (Trainer, reset_main_branches,
+                                           init_variables_for)
+from lecturemath_tpu.utils.synthetic import synthetic_rgb_lecture
+
+TINY = FCNConfig(down_filters=(2, 3, 4, 5, 6), mid_filters=6,
+                 upsample_filters=(2, 3, 4, 5, 6), up_filters=(2, 3, 4, 5, 6),
+                 pixel_features=(4, 3), kernel_size=3, pixel_kernel_size=3)
+
+
+@pytest.fixture(scope="module")
+def image_files(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("train_data")
+    rgb, binary, _, _ = synthetic_rgb_lecture(seed=0, n_frames=6, height=96,
+                                              width=128)
+    images, gts = [], []
+    for k in range(6):
+        img_path = str(root / f"img_{k}.png")
+        gt_path = str(root / f"gt_{k}.png")
+        cv2.imwrite(img_path, rgb[k][:, :, ::-1])
+        cv2.imwrite(gt_path, np.stack([255 - binary[k]] * 3, axis=-1))
+        images.append(img_path)
+        gts.append(gt_path)
+    return images, gts
+
+
+def make_dataset(images, gts, **kwargs):
+    defaults = dict(crop_size=(64, 64), crop_min_fg_prc=0.01,
+                    flip_chance=0.5, color_invert_chance=0.5,
+                    color_change_chance=0.5, luminosity_change_chance=0.5,
+                    gaussian_noise_chance=0.5, weight_expansion=1,
+                    text_mask_expansion=3, reconstruct_median=True,
+                    reconstruct_median_k=5, seed=3)
+    defaults.update(kwargs)
+    return LectureNetDataset(images, gts, **defaults)
+
+
+def test_dataset_sample_contents(image_files):
+    images, gts = image_files
+    dataset = make_dataset(images, gts)
+    sample = dataset.sample(0)
+
+    assert sample["image"].shape == (64, 64, 3)
+    assert -1.0 <= sample["image"].min() and sample["image"].max() <= 1.0
+    assert sample["target"].shape == (64, 64, 1)
+    assert set(np.unique(sample["target"])) <= {0.0, 1.0}
+    assert sample["text_mask"].shape == (64, 64, 1)
+    assert sample["weights"].shape == (64, 64, 1)
+    assert sample["weights"].min() >= 1.0
+    assert sample["median"].shape == (64, 64, 3)
+
+
+def test_dataset_batches(image_files):
+    images, gts = image_files
+    dataset = make_dataset(images, gts)
+    batches = list(dataset.batches(2))
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (2, 64, 64, 3)
+
+
+def test_dataset_preload_round_trip(image_files):
+    images, gts = image_files
+    dataset = make_dataset(images, gts, crop_size=None, flip_chance=None,
+                           color_invert_chance=None, color_change_chance=None,
+                           luminosity_change_chance=None,
+                           gaussian_noise_chance=None)
+    direct = dataset.sample(1)["image"]
+    dataset.preload()
+    assert dataset.total_foreground > 0
+    preloaded = dataset.sample(1)["image"]
+    np.testing.assert_allclose(direct, preloaded)
+
+
+@pytest.mark.parametrize("phase", ["reconstruction", "binarizer"])
+def test_phase_training_reduces_loss(image_files, phase):
+    images, gts = image_files
+    model = FCNLectureNet(TINY, reconstruction_mode=(phase == "reconstruction"))
+    trainer = Trainer(model, learning_rate=0.05, phase=phase)
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+
+    dataset = make_dataset(images, gts, crop_size=(32, 32), seed=0,
+                           color_invert_chance=None,
+                           luminosity_change_chance=None,
+                           gaussian_noise_chance=None,
+                           color_change_chance=None)
+    batch = next(dataset.batches(4, shuffle=False))
+
+    losses = []
+    for _ in range(8):
+        state, metrics = trainer.step(state, batch)
+        losses.append(float(jax.device_get(metrics["total"])))
+
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_freeze_bn_keeps_stats(image_files):
+    images, gts = image_files
+    model = FCNLectureNet(TINY)
+    trainer = Trainer(model, learning_rate=0.01, phase="binarizer",
+                      freeze_bn=True)
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+
+    dataset = make_dataset(images, gts, crop_size=(32, 32), seed=1)
+    batch = next(dataset.batches(2, shuffle=False))
+    before = np.asarray(state.batch_stats["down_1"]["bn"]["mean"])
+    new_state, _ = trainer.step(state, batch)
+    after = np.asarray(new_state.batch_stats["down_1"]["bn"]["mean"])
+    np.testing.assert_array_equal(before, after)
+    # params still train
+    assert not np.allclose(np.asarray(state.params["down_1"]["conv"]["kernel"]),
+                           np.asarray(new_state.params["down_1"]["conv"]["kernel"]))
+
+
+def test_reset_main_branches():
+    variables = init_variables_for(TINY, jax.random.PRNGKey(0))
+    reset = reset_main_branches(variables, TINY, jax.random.PRNGKey(7))
+
+    # trunk unchanged
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["down_1"]["conv"]["kernel"]),
+        np.asarray(reset["params"]["down_1"]["conv"]["kernel"]))
+    # heads re-initialized
+    assert not np.allclose(
+        np.asarray(variables["params"]["out_conv"]["kernel"]),
+        np.asarray(reset["params"]["out_conv"]["kernel"]))
