@@ -53,12 +53,21 @@ def ensure_oracle():
             def __str__(self):
                 return f"Polygon({len(self.points)} pts)"
 
+        class _Point:
+            def __init__(self, *args):
+                self.coords = args
+
         geometry = types.ModuleType("shapely.geometry")
         geometry.Polygon = _Polygon
+        geometry.Point = _Point
+        point_mod = types.ModuleType("shapely.geometry.point")
+        point_mod.Point = _Point
+        geometry.point = point_mod
         shapely = types.ModuleType("shapely")
         shapely.geometry = geometry
         sys.modules["shapely"] = shapely
         sys.modules["shapely.geometry"] = geometry
+        sys.modules["shapely.geometry.point"] = point_mod
 
     _ready = True
 
