@@ -158,6 +158,48 @@ class ArraySource(VideoFrameSource):
             yield (t / self.fps) * 1000.0, t, self.array[t]
 
 
+def sample_frame_indices(video_paths: Sequence[str],
+                         target_indices: Sequence[int],
+                         forced_resolution: Optional[Tuple[int, int]] = None
+                         ) -> List[Tuple[int, np.ndarray]]:
+    """Sequentially decode only the requested absolute frame indices across
+    a multi-file lecture (reference: SequentialVideoSampler,
+    sequential_video_sampler.py:17; VideoSegmentProcessor use case)."""
+    import cv2
+
+    wanted = sorted(set(int(i) for i in target_indices))
+    results: List[Tuple[int, np.ndarray]] = []
+    offset = 0
+    pos = 0
+
+    for path in video_paths:
+        if pos >= len(wanted):
+            break
+        capture = cv2.VideoCapture(path)
+        if not capture.isOpened():
+            raise IOError(f"cannot open video: {path}")
+        frame_idx = 0
+        while pos < len(wanted):
+            grabbed = capture.grab()
+            if not grabbed:
+                break
+            if offset + frame_idx == wanted[pos]:
+                ok, frame = capture.retrieve()
+                if not ok:
+                    break
+                if forced_resolution is not None:
+                    fw, fh = forced_resolution
+                    if (frame.shape[1], frame.shape[0]) != (fw, fh):
+                        frame = cv2.resize(frame, (fw, fh))
+                results.append((wanted[pos], frame[:, :, ::-1]))
+                pos += 1
+            frame_idx += 1
+        offset += frame_idx
+        capture.release()
+
+    return results
+
+
 def compress_png(frames: Sequence[np.ndarray]) -> List[np.ndarray]:
     """In-memory PNG encoding for reference-compatible stage artifacts
     (reference stores stage-01 output PNG-compressed,

@@ -1,0 +1,99 @@
+"""Video export interpolation, uniform-sample summaries, sequential
+sampling, and visualization renderers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lecturemath_tpu.core.artifacts import ArtifactStore
+from lecturemath_tpu.core.metadata import MetaDataDB, LectureInfo
+from lecturemath_tpu.data.cc import extract_ccs
+from lecturemath_tpu.pipeline.export_video import (interpolated_frames,
+                                                   summary_from_uniform_sample)
+from lecturemath_tpu.pipeline.video import compress_png, sample_frame_indices
+from lecturemath_tpu.utils.synthetic import synthetic_lecture
+from lecturemath_tpu.utils import visualizer
+
+
+def test_interpolated_frames():
+    frames = [np.full((4, 4), 0, np.uint8), np.full((4, 4), 100, np.uint8),
+              np.full((4, 4), 200, np.uint8)]
+    indices = [0, 10, 20]
+    out = dict(interpolated_frames(frames, indices, 0, 25))
+
+    np.testing.assert_array_equal(out[0], frames[0])
+    np.testing.assert_array_equal(out[10], frames[1])
+    np.testing.assert_array_equal(out[20], frames[2])
+    assert out[5][0, 0] == 50   # halfway between 0 and 100
+    assert out[15][0, 0] == 150
+    assert out[24][0, 0] == 200  # past the last sample: hold
+
+
+def test_interp_skip_holds_frames():
+    frames = [np.full((2, 2), 0, np.uint8), np.full((2, 2), 100, np.uint8)]
+    out = dict(interpolated_frames(frames, [0, 10], 0, 10, interp_skip=4))
+    # frames refresh every 5; in between they hold the last interpolation
+    assert out[1][0, 0] == out[2][0, 0] == out[3][0, 0] == out[4][0, 0]
+    assert out[5][0, 0] != out[4][0, 0]
+
+
+def test_uniform_sample_summary(tmp_path):
+    frames, _, _ = synthetic_lecture(seed=1, n_frames=12, height=48, width=64)
+    store = ArtifactStore(str(tmp_path / "temporal"))
+    times = [1000.0 * t for t in range(12)]
+    indices = [30 * t for t in range(12)]
+    store.save((times, indices, compress_png(list(frames))), "tempo_binary_",
+               "lec01")
+
+    database = MetaDataDB("TestDB")
+    lecture = LectureInfo("lec01", "lec01",
+                          main_videos=[{"path": "lec01.mp4"}])
+
+    xml_path = summary_from_uniform_sample(store, "tempo_binary_", database,
+                                           lecture, step=4,
+                                           sample_name="unif",
+                                           summaries_root=str(tmp_path / "sums"))
+    assert os.path.exists(xml_path)
+    keyframe_dir = os.path.join(os.path.dirname(xml_path), "keyframes")
+    assert len(os.listdir(keyframe_dir)) == 3  # 12 frames / step 4
+
+
+def test_sequential_sampler(tmp_path):
+    import cv2
+
+    frames, _, _ = synthetic_lecture(seed=2, n_frames=5, height=48, width=64)
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30.0,
+                             (64, 48))
+    for t in range(5):
+        rgb = np.stack([frames[t]] * 3, axis=-1)
+        for _ in range(10):
+            writer.write(rgb)
+    writer.release()
+
+    samples = sample_frame_indices([path], [0, 15, 30, 45])
+    assert [idx for idx, _ in samples] == [0, 15, 30, 45]
+    assert samples[0][1].shape == (48, 64, 3)
+    # frame 15 comes from synthetic frame 1 (MJPG is lossy; check majority)
+    expected_fg = frames[1] > 0
+    decoded_fg = samples[1][1][:, :, 0] > 128
+    agreement = (expected_fg == decoded_fg).mean()
+    assert agreement > 0.95
+
+
+def test_visualizer_renderers(tmp_path):
+    frames, _, _ = synthetic_lecture(seed=3, n_frames=4, height=48, width=64)
+    overlay = visualizer.combine_binary_images(255 - frames[0], 255 - frames[1],
+                                               2, 1, 0)
+    assert overlay.shape == (48, 64, 3)
+    assert overlay[:, :, 2].max() == 255
+
+    ccs = extract_ccs(frames[0])
+    match_img = visualizer.gt_match_image(48, 64, ccs[:1], ccs[1:2], ccs[2:])
+    assert match_img[:, :, 1].max() == 255
+
+    out = visualizer.signal_plot({"sum": np.arange(10.0)},
+                                 str(tmp_path / "plot.png"),
+                                 intervals=[(2, 5)], title="test")
+    assert os.path.exists(out)
