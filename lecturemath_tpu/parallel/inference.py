@@ -1,0 +1,78 @@
+"""Multi-chip frame-sharded inference.
+
+Frames are embarrassingly parallel through the FCN forward, so the batch
+axis shards over the mesh 'data' axis (params replicated, or channel-sharded
+over 'model' for very large variants); XLA/GSPMD inserts the collectives.
+This replaces nothing in the reference — it was single-GPU batch-1
+(SURVEY.md §2.11) — and is the natural TPU pod scaling path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.fcn_lecturenet import (FCNLectureNet, pad_to_multiple,
+                                     prepare_images)
+from .mesh import params_pspec_tree
+
+
+class ShardedBinarizer:
+    """Batched binarizer with the frame axis sharded across chips.
+
+    The per-chip sub-batch must divide evenly: callers pass batches of size
+    k * mesh.data. Use together with pipeline.video.FrameBatch padding.
+    """
+
+    def __init__(self, model: FCNLectureNet, variables, mesh: Mesh,
+                 force_binary: bool = True, threshold: int = 128,
+                 shard_params_over_model: bool = False):
+        self.model = model
+        self.mesh = mesh
+        self.force_binary = force_binary
+        self.threshold = threshold
+
+        if shard_params_over_model:
+            specs = params_pspec_tree(variables["params"], mesh)
+            params = jax.tree.map(
+                lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+                variables["params"], specs)
+        else:
+            params = jax.tree.map(
+                lambda v: jax.device_put(v, NamedSharding(mesh, P())),
+                variables["params"])
+        stats = jax.tree.map(
+            lambda v: jax.device_put(v, NamedSharding(mesh, P())),
+            variables["batch_stats"])
+        self.variables = {"params": params, "batch_stats": stats}
+
+        self._batch_sharding = NamedSharding(mesh, P("data"))
+
+        @jax.jit
+        def binarize(variables, rgb_uint8):
+            x = prepare_images(rgb_uint8)
+            x, (h, w) = pad_to_multiple(x)
+            bin_logits, text_logits, _ = model.apply(variables, x, train=False)
+            bin_prob = jax.nn.sigmoid(bin_logits[..., 0].astype(jnp.float32))
+            bin_u8 = (bin_prob * 255.0).astype(jnp.uint8)
+            if force_binary:
+                bin_u8 = jnp.where(bin_u8 >= threshold, 255, 0).astype(jnp.uint8)
+            return bin_u8[:, :h, :w]
+
+        self._binarize = binarize
+
+    def binarize_frames(self, frames: np.ndarray) -> np.ndarray:
+        """uint8 [B, H, W, 3] with B divisible by mesh 'data' size."""
+        data_size = self.mesh.shape["data"]
+        batch = frames.shape[0]
+        if batch % data_size:
+            pad = data_size - batch % data_size
+            frames = np.concatenate([frames,
+                                     np.repeat(frames[-1:], pad, axis=0)])
+        device_batch = jax.device_put(frames, self._batch_sharding)
+        out = self._binarize(self.variables, device_batch)
+        return np.asarray(jax.device_get(out))[:batch]

@@ -1,0 +1,67 @@
+"""Mesh construction, param sharding, and sharded inference on the virtual
+8-device CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lecturemath_tpu.models.fcn_lecturenet import (FCNConfig, FCNLectureNet,
+                                                   init_variables)
+from lecturemath_tpu.parallel.inference import ShardedBinarizer
+from lecturemath_tpu.parallel.mesh import (MeshSpec, make_mesh,
+                                           params_pspec_tree, shard_batch)
+
+SHARDY = FCNConfig(down_filters=(8, 8, 16, 16, 16), mid_filters=16,
+                   upsample_filters=(8, 8, 8, 16, 16),
+                   up_filters=(8, 8, 8, 16, 16), pixel_features=(8, 8),
+                   kernel_size=3, pixel_kernel_size=3)
+
+
+def test_mesh_spec_resolution():
+    assert MeshSpec(-1, 1).resolve(8) == MeshSpec(8, 1)
+    assert MeshSpec(-1, 2).resolve(8) == MeshSpec(4, 2)
+    with pytest.raises(ValueError):
+        MeshSpec(8, 2).resolve(8)
+
+
+def test_make_mesh_and_shard_batch():
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    batch = np.zeros((8, 16, 16, 3), np.float32)
+    sharded = shard_batch(mesh, batch)
+    assert sharded.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_param_pspec_tree():
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    params = {"conv": {"kernel": np.zeros((3, 3, 8, 16)),
+                       "bias": np.zeros(16)},
+              "odd": {"kernel": np.zeros((3, 3, 4, 5))}}
+    specs = params_pspec_tree(params, mesh)
+    assert specs["conv"]["kernel"] == jax.sharding.PartitionSpec(
+        None, None, None, "model")
+    assert specs["conv"]["bias"] == jax.sharding.PartitionSpec("model")
+    # 5 not divisible by 2 -> replicated
+    assert specs["odd"]["kernel"] == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.parametrize("shard_model", [False, True])
+def test_sharded_binarizer(shard_model):
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    model = FCNLectureNet(SHARDY)
+    variables = init_variables(model, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    binarizer = ShardedBinarizer(model, variables, mesh,
+                                 shard_params_over_model=shard_model)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (8, 32, 32, 3), np.uint8)
+    out = binarizer.binarize_frames(frames)
+    assert out.shape == (8, 32, 32)
+    assert set(np.unique(out).tolist()) <= {0, 255}
+
+    # non-divisible batch pads internally and crops back
+    out_small = binarizer.binarize_frames(frames[:5])
+    assert out_small.shape == (5, 32, 32)
+    np.testing.assert_array_equal(out_small, out[:5])
