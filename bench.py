@@ -56,11 +56,13 @@ def measure_ours():
         seed=0, n_frames=FRAMES, height=HEIGHT, width=WIDTH, n_boards=2,
         glyphs_per_board=8, glyph_size=(40, 60))
 
-    binarizer = Binarizer(model, variables)
+    import jax.numpy as jnp
 
-    # warmup: compile the batched forward once
-    warm = binarizer.binarize_frames(rgb[:binarizer.batch_size or 8])
-    del warm
+    binarizer = Binarizer(model, variables, batch_size=8)
+
+    # warmup: compile the packed streaming forward once (the only device
+    # computation the pipeline uses)
+    jax.block_until_ready(binarizer._packed_fn(jnp.asarray(rgb[:8])))
 
     start = time.perf_counter()
 

@@ -238,3 +238,42 @@ def make_binarizer(model: FCNLectureNet, variables,
         return (bin_u8[:, :h, :w], text_u8[:, :h, :w], rec_u8[:, :h, :w])
 
     return binarize
+
+
+def pack_bits(binary: jnp.ndarray) -> jnp.ndarray:
+    """Pack a boolean/binary [B, H, W] into a uint8 bitmap [B, H, ceil(W/8)]
+    (MSB-first, np.packbits layout). 8x less HBM->host traffic for binary
+    frames — the tunnel/PCIe download is the inference bottleneck."""
+    b, h, w = binary.shape
+    pad = (-w) % 8
+    bits = (binary != 0)
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, 0), (0, pad)))
+    bits = bits.reshape(b, h, -1, 8).astype(jnp.uint8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (bits * weights).sum(axis=-1, dtype=jnp.uint8)
+
+
+def make_packed_binarizer(model: FCNLectureNet, variables,
+                          threshold: int = 128):
+    """Like make_binarizer(force_binary=True) but returns only the packed
+    binary bitmap; unpack host-side with np.unpackbits."""
+
+    @jax.jit
+    def binarize(rgb_uint8):
+        x = prepare_images(rgb_uint8)
+        x, (h, w) = pad_to_multiple(x)
+        bin_logits, _, _ = model.apply(variables, x, train=False)
+        bin_prob = jax.nn.sigmoid(bin_logits[..., 0].astype(jnp.float32))
+        binary = (bin_prob * 255.0).astype(jnp.uint8) >= threshold
+        return pack_bits(binary[:, :h, :w])
+
+    return binarize
+
+
+def unpack_bits_host(packed: "np.ndarray", width: int) -> "np.ndarray":
+    """uint8 bitmap [B, H, ceil(W/8)] -> uint8 binary [B, H, W] in {0, 255}."""
+    import numpy as np
+
+    unpacked = np.unpackbits(np.asarray(packed), axis=-1)[..., :width]
+    return unpacked * np.uint8(255)

@@ -56,6 +56,15 @@ class Binarizer:
         self._binarize_fn = make_binarizer(model, variables,
                                            force_binary=force_binary,
                                            threshold=threshold)
+        # streaming stage-01 path: binary-only output packed to a bitmap on
+        # device (8x smaller host download, the tunnel/PCIe bottleneck)
+        if force_binary:
+            from ..models.fcn_lecturenet import make_packed_binarizer
+
+            self._packed_fn = make_packed_binarizer(model, variables,
+                                                    threshold=threshold)
+        else:
+            self._packed_fn = None
 
     @classmethod
     def from_config(cls, config: Config, allow_random: bool = False,
@@ -101,20 +110,24 @@ class Binarizer:
         binary_frames is a list of uint8 [H, W] arrays; when ``invert`` the
         frames match the reference stage-01 artifact polarity (ink=0).
         """
+        from ..models.fcn_lecturenet import unpack_bits_host
+
         frame_times: List[float] = []
         frame_indices: List[int] = []
         binaries: List[np.ndarray] = []
 
         first = None
-        batch_iter = None
         model_size = None
+        use_packed = self._packed_fn is not None
         pending = []  # (device_result, batch) — drained one behind for overlap
 
         def drain(entry):
             device_binary, batch = entry
-            host_binary = np.asarray(jax.device_get(device_binary))
+            host = np.asarray(jax.device_get(device_binary))
+            if use_packed:
+                host = unpack_bits_host(host, model_size[0])
             for offset in range(batch.valid):
-                img = host_binary[offset]
+                img = host[offset]
                 if model_size is not None and model_size != full_size:
                     import cv2
                     img = cv2.resize(img, full_size,
@@ -136,7 +149,10 @@ class Binarizer:
             if model_size != full_size:
                 frames = _downscale_batch(frames, model_size)
 
-            device_binary, _, _ = self._binarize_fn(jnp.asarray(frames))
+            if use_packed:
+                device_binary = self._packed_fn(jnp.asarray(frames))
+            else:
+                device_binary, _, _ = self._binarize_fn(jnp.asarray(frames))
             pending.append((device_binary, batch))
             if len(pending) > 1:
                 drain(pending.pop(0))

@@ -133,6 +133,30 @@ class Trainer:
 
         return load_checkpoint_variables(path)
 
+    # full-state (params + batch stats + optimizer + step) checkpoints for
+    # mid-training resume — the reference only saved model weights
+    # (SURVEY.md §5: no optimizer-state or mid-epoch resume)
+
+    def save_resume_checkpoint(self, state: TrainState, ckpt_dir: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = os.path.abspath(ckpt_dir)
+        if os.path.exists(ckpt_dir):
+            import shutil
+
+            shutil.rmtree(ckpt_dir)
+        ocp.StandardCheckpointer().save(ckpt_dir, jax.device_get(state))
+
+    def restore_resume_checkpoint(self, state_like: TrainState,
+                                  ckpt_dir: str) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(ckpt_dir), jax.device_get(state_like))
+        if self.mesh is not None:
+            restored = self.shard_state(restored)
+        return restored
+
 
 def make_train_step(model: FCNLectureNet, optimizer, phase: str,
                     use_weights: bool = False,
@@ -275,13 +299,30 @@ def run_phase(config: Config, phase_name: str, dataset,
 
     out_path = config.get_str(spec.output_key,
                               f"models/lecturenet_{phase_name}.msgpack")
-    for epoch in range(epochs):
+
+    # resume from a full-state checkpoint if one exists
+    import json
+
+    resume_dir = out_path + ".resume"
+    meta_path = resume_dir + ".json"
+    start_epoch = 0
+    if os.path.isdir(resume_dir) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            start_epoch = json.load(f)["completed_epochs"]
+        state = trainer.restore_resume_checkpoint(state, resume_dir)
+        if verbose:
+            print(f"[{phase_name}] resumed after epoch {start_epoch}")
+
+    for epoch in range(start_epoch, epochs):
         state, metrics = trainer.train_epoch(state, dataset, batch_size)
         if verbose:
             printable = ", ".join(f"{k}={v:.5f}" for k, v in metrics.items())
             print(f"[{phase_name}] epoch {epoch + 1}/{epochs}: {printable}")
         if (epoch + 1) % spec.backup_every == 0:
             trainer.save(state, out_path + f".epoch_{epoch + 1}.bak")
+            trainer.save_resume_checkpoint(state, resume_dir)
+            with open(meta_path, "w") as f:
+                json.dump({"completed_epochs": epoch + 1}, f)
 
     trainer.save(state, out_path)
     return out_path
