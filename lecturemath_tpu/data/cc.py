@@ -88,6 +88,88 @@ class CC:
         match = self.matched_pixels(other)
         return (2.0 * match) / float(self.size + other.size)
 
+    # ----------------------------------------------------------- geometry
+
+    def center(self) -> Tuple[float, float]:
+        return ((self.min_x + self.max_x) / 2.0,
+                (self.min_y + self.max_y) / 2.0)
+
+    def center_of_mass(self) -> Tuple[int, int]:
+        """Rounded foreground centroid in frame coordinates
+        (reference: getCenterOfMass, connected_component.py:155-161)."""
+        ys, xs = np.nonzero(self.img)
+        return (self.min_x + int(round(xs.mean())),
+                self.min_y + int(round(ys.mean())))
+
+    def center_distance(self, other: "CC") -> float:
+        (cx1, cy1), (cx2, cy2) = self.center(), other.center()
+        return float(np.hypot(cx1 - cx2, cy1 - cy2))
+
+    def box_distance(self, other: "CC",
+                     self_offset: Tuple[int, int] = (0, 0),
+                     other_offset: Tuple[int, int] = (0, 0)) -> float:
+        """Distance between bounding boxes: 0 when overlapping, axis gap
+        when overlapping on one axis, corner distance otherwise
+        (reference: getBoxDistance(WithOffset), connected_component.py:289-366).
+        """
+        s_min_x = self.min_x + self_offset[0]
+        s_max_x = self.max_x + self_offset[0]
+        s_min_y = self.min_y + self_offset[1]
+        s_max_y = self.max_y + self_offset[1]
+        o_min_x = other.min_x + other_offset[0]
+        o_max_x = other.max_x + other_offset[0]
+        o_min_y = other.min_y + other_offset[1]
+        o_max_y = other.max_y + other_offset[1]
+
+        x_overlap = s_min_x <= o_max_x and o_min_x <= s_max_x
+        y_overlap = s_min_y <= o_max_y and o_min_y <= s_max_y
+        gap_x = (s_min_x - o_max_x) if s_max_x > o_max_x else (o_min_x - s_max_x)
+        gap_y = (s_min_y - o_max_y) if s_max_y > o_max_y else (o_min_y - s_max_y)
+
+        if x_overlap and y_overlap:
+            return 0.0
+        if x_overlap:
+            return float(gap_y)
+        if y_overlap:
+            return float(gap_x)
+        return float(np.hypot(gap_x, gap_y))
+
+    def normalized_image(self, new_size: int = 128,
+                         min_scaling_size: int = 10) -> np.ndarray:
+        """Square, aspect-preserving, resized binary mask for shape features
+        (reference: normalizeImage, connected_component.py:371-403)."""
+        import cv2
+
+        longest = max(self.img.shape)
+        pad = 0
+        if longest < min_scaling_size:
+            pad = int(np.ceil((min_scaling_size - longest) / 2.0))
+        side = longest + pad * 2
+        square = np.zeros((side, side), dtype=np.float64)
+        off_y = (longest - self.img.shape[0]) // 2 + pad
+        off_x = (longest - self.img.shape[1]) // 2 + pad
+        square[off_y:off_y + self.img.shape[0],
+               off_x:off_x + self.img.shape[1]] = self.img
+        scaled = cv2.resize(square, (new_size, new_size))
+        return (scaled > 128).astype(np.uint8) * 255
+
+    def contours(self):
+        """Outer+inner contours in frame coordinates
+        (reference: getContours, connected_component.py:69-88)."""
+        import cv2
+
+        padded = cv2.copyMakeBorder(self.img, 2, 2, 2, 2,
+                                    cv2.BORDER_CONSTANT, value=0)
+        raw, _ = cv2.findContours(padded, cv2.RETR_TREE,
+                                  cv2.CHAIN_APPROX_NONE)
+        out = []
+        for contour in raw:
+            contour = contour.reshape(-1, 2)
+            contour[:, 0] += self.min_x - 2
+            contour[:, 1] += self.min_y - 2
+            out.append(contour)
+        return out
+
 
 def extract_ccs(binary: np.ndarray, ages: Optional[np.ndarray] = None,
                 filter_small: bool = True,

@@ -393,6 +393,28 @@ class UniqueCCGroup:
         return f"{self.start_frame}-{cc_str_id(self.cc_refs[0])}"
 
     @staticmethod
+    def copy(original: "UniqueCCGroup") -> "UniqueCCGroup":
+        group = UniqueCCGroup(original.cc_refs[0], original.start_frame)
+        group.cc_refs = list(original.cc_refs)
+        return group
+
+    @staticmethod
+    def split(original: "UniqueCCGroup",
+              split_frame: int) -> Optional["UniqueCCGroup"]:
+        """Split a group at a frame: the original keeps [start, split) and a
+        new group takes [split, end] (reference: unique_cc_group.py:178-201).
+        Returns None when the split point is outside the group."""
+        offset = split_frame - original.start_frame
+        if offset <= 0 or offset >= len(original.cc_refs):
+            return None
+        new_group = UniqueCCGroup(original.cc_refs[offset], split_frame)
+        new_group.cc_refs = original.cc_refs[offset:]
+        original.cc_refs = original.cc_refs[:offset]
+        while original.cc_refs and original.cc_refs[-1] is None:
+            original.cc_refs.pop()
+        return new_group
+
+    @staticmethod
     def groups_from_xml(keyframes: Sequence[KeyframeAnnotation],
                         xml_filename: str, verbose: bool = False):
         """Load unique_ccs.xml with the reference's consistency repair:

@@ -117,7 +117,11 @@ class FCNLectureNet(nn.Module):
     dtype: Any = jnp.float32  # compute dtype; bfloat16 for TPU inference
 
     @nn.compact
-    def __call__(self, x0, train: bool = False):
+    def __call__(self, x0, train: bool = False, mode: str = "full"):
+        """mode: 'full' (default), 'encode' -> mid-block features only
+        (reference get_batch_mid_block_features, FCN_lecturenet.py:213-258),
+        'diff' -> (diff_img, decoder features) (reference
+        get_batch_diff_images, :325-352)."""
         cfg = self.config
         dt = self.dtype
         x = x0.astype(dt)
@@ -132,6 +136,9 @@ class FCNLectureNet(nn.Module):
 
         x = ConvBNAct(cfg.mid_filters, cfg.kernel_size, dtype=dt,
                       name="mid")(x, train)
+
+        if mode == "encode":
+            return x.astype(jnp.float32)
 
         # ---------------- decoder ----------------
         for level in range(5, 0, -1):
@@ -149,7 +156,7 @@ class FCNLectureNet(nn.Module):
                            epsilon=1e-5, dtype=jnp.float32, name="rec_bn")(rec)
         rec = jnp.tanh(rec).astype(dt)
 
-        if self.reconstruction_mode:
+        if self.reconstruction_mode and mode == "full":
             return rec
 
         # ---------------- text-mask head ----------------
@@ -162,6 +169,9 @@ class FCNLectureNet(nn.Module):
 
         # ---------------- binarization head ----------------
         diff = (x0.astype(dt) - rec) * jax.nn.sigmoid(text_logits).astype(dt)
+
+        if mode == "diff":
+            return diff.astype(jnp.float32), x_up1.astype(jnp.float32)
 
         h = jnp.concatenate([diff, x_up1], axis=-1)
         h = ConvBNAct(cfg.pixel_features[0], pk, dtype=dt, name="pixels_1")(h, train)
@@ -180,6 +190,40 @@ class FCNLectureNet(nn.Module):
 # ---------------------------------------------------------------------------
 # inference helpers
 # ---------------------------------------------------------------------------
+
+def make_feature_extractor(model: FCNLectureNet, variables):
+    """Jitted mid-block encoder features: uint8 RGB [B,H,W,3] -> f32
+    [B, H/32, W/32, mid_filters] (reference:
+    get_batch_mid_block_features, FCN_lecturenet.py:213-258)."""
+
+    @jax.jit
+    def features(rgb_uint8):
+        x = prepare_images(rgb_uint8)
+        x, _ = pad_to_multiple(x)
+        return model.apply(variables, x, train=False, mode="encode")
+
+    return features
+
+
+def make_diff_image_extractor(model: FCNLectureNet, variables,
+                              concat_features: bool = False,
+                              downsample: Optional[int] = None):
+    """Jitted diff-image features for downstream content analysis
+    (reference: get_batch_diff_images, FCN_lecturenet.py:325-352)."""
+
+    @jax.jit
+    def diff_images(rgb_uint8):
+        x = prepare_images(rgb_uint8)
+        x, _ = pad_to_multiple(x)
+        diff, x_up1 = model.apply(variables, x, train=False, mode="diff")
+        out = jnp.concatenate([diff, x_up1], axis=-1) if concat_features else diff
+        if downsample is not None:
+            out = nn.max_pool(out, (downsample, downsample),
+                              strides=(downsample, downsample))
+        return out
+
+    return diff_images
+
 
 def init_variables(model: FCNLectureNet, rng_key, sample_shape=(1, 32, 32, 3)):
     """Initialize model variables under jit (eager init compiles every op

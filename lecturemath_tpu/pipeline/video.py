@@ -28,20 +28,40 @@ class FrameBatch:
 
 
 class VideoFrameSource:
-    """Decode + sample frames from a list of video files."""
+    """Decode + sample frames from a list of video files.
+
+    ``seek_strategy``: 'grab' decodes every frame and keeps each step-th;
+    'seek' jumps with CAP_PROP_POS_FRAMES; 'auto' times both on the first
+    two samples and keeps the faster (the reference VideoProcessor's
+    adaptive strategy, video_processor.py:100-146).
+    """
 
     def __init__(self, video_paths: Sequence[str], sampling_fps: float,
-                 forced_resolution: Optional[Tuple[int, int]] = None):
+                 forced_resolution: Optional[Tuple[int, int]] = None,
+                 seek_strategy: str = "auto"):
         self.video_paths = list(video_paths)
         self.sampling_fps = sampling_fps
         self.forced_resolution = forced_resolution  # (width, height)
+        self.seek_strategy = seek_strategy
+
+    def _post(self, frame: np.ndarray) -> np.ndarray:
+        import cv2
+
+        if self.forced_resolution is not None:
+            fw, fh = self.forced_resolution
+            if (frame.shape[1], frame.shape[0]) != (fw, fh):
+                frame = cv2.resize(frame, (fw, fh))
+        return frame[:, :, ::-1]  # BGR -> RGB
 
     def frames(self, frames_limit: int = 0) -> Iterator[Tuple[float, int, np.ndarray]]:
+        import time
+
         import cv2
 
         abs_index_offset = 0
         abs_time_offset = 0.0
         emitted = 0
+        strategy = self.seek_strategy
 
         for path in self.video_paths:
             capture = cv2.VideoCapture(path)
@@ -49,34 +69,68 @@ class VideoFrameSource:
                 raise IOError(f"cannot open video: {path}")
             video_fps = capture.get(cv2.CAP_PROP_FPS) or 30.0
             step = max(1, int(round(video_fps / self.sampling_fps)))
+            n_frames = int(capture.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
 
-            frame_idx = 0
-            while True:
-                grabbed = capture.grab()
-                if not grabbed:
-                    break
-                if frame_idx % step == 0:
-                    ok, frame = capture.retrieve()
+            if strategy == "auto" and step > 1 and n_frames > 2 * step:
+                strategy = self._pick_strategy(capture, step)
+
+            if strategy == "seek" and n_frames > 0:
+                for frame_idx in range(0, n_frames, step):
+                    capture.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+                    ok, frame = capture.read()
                     if not ok:
                         break
-                    if self.forced_resolution is not None:
-                        fw, fh = self.forced_resolution
-                        if (frame.shape[1], frame.shape[0]) != (fw, fh):
-                            frame = cv2.resize(frame, (fw, fh))
-                    # BGR -> RGB
-                    frame = frame[:, :, ::-1]
                     abs_time = abs_time_offset + (frame_idx / video_fps) * 1000.0
-                    yield abs_time, abs_index_offset + frame_idx, frame
+                    yield abs_time, abs_index_offset + frame_idx, self._post(frame)
                     emitted += 1
                     if frames_limit and emitted >= frames_limit:
                         capture.release()
                         return
-                frame_idx += 1
+                frame_idx = n_frames
+            else:
+                frame_idx = 0
+                while True:
+                    grabbed = capture.grab()
+                    if not grabbed:
+                        break
+                    if frame_idx % step == 0:
+                        ok, frame = capture.retrieve()
+                        if not ok:
+                            break
+                        abs_time = abs_time_offset + (frame_idx / video_fps) * 1000.0
+                        yield abs_time, abs_index_offset + frame_idx, self._post(frame)
+                        emitted += 1
+                        if frames_limit and emitted >= frames_limit:
+                            capture.release()
+                            return
+                    frame_idx += 1
 
             total_time = (frame_idx / video_fps) * 1000.0
             abs_index_offset += frame_idx
             abs_time_offset += total_time
             capture.release()
+
+    @staticmethod
+    def _pick_strategy(capture, step: int) -> str:
+        """Time one grab-loop sample vs one direct seek and keep the faster
+        (reference adaptive strategy, video_processor.py:100-146)."""
+        import time
+
+        import cv2
+
+        start = time.perf_counter()
+        for _ in range(step):
+            if not capture.grab():
+                break
+        grab_time = time.perf_counter() - start
+
+        start = time.perf_counter()
+        capture.set(cv2.CAP_PROP_POS_FRAMES, 2 * step)
+        capture.grab()
+        seek_time = time.perf_counter() - start
+
+        capture.set(cv2.CAP_PROP_POS_FRAMES, 0)
+        return "seek" if seek_time < grab_time else "grab"
 
     def batches(self, batch_size: int, frames_limit: int = 0,
                 pad_last: bool = True) -> Iterator[FrameBatch]:
@@ -220,3 +274,20 @@ def decompress_png(buffers: Sequence[np.ndarray]) -> List[np.ndarray]:
 
     return [cv2.imdecode(np.asarray(buf), cv2.IMREAD_GRAYSCALE)
             for buf in buffers]
+
+
+def grayscale_variance_map(image: np.ndarray, ksize: int) -> np.ndarray:
+    """Per-pixel local variance over a (2k)x(2k) window, vectorized with
+    box filters (reference: Helper.grayscale_variance_map, helper.py:12-24 —
+    a per-pixel double loop there)."""
+    import cv2
+
+    img = image.astype(np.float64)
+    window = 2 * ksize
+    # the reference window is [y-k, y+k) x [x-k, x+k) clipped at borders;
+    # normalized box filter over the same support
+    mean = cv2.blur(img, (window, window),
+                    borderType=cv2.BORDER_ISOLATED)
+    mean_sq = cv2.blur(img * img, (window, window),
+                       borderType=cv2.BORDER_ISOLATED)
+    return np.maximum(mean_sq - mean * mean, 0.0)

@@ -77,6 +77,25 @@ def test_pad_to_multiple():
     assert (h, w) == (30, 45)
 
 
+def test_feature_extractors(tiny_model):
+    from lecturemath_tpu.models.fcn_lecturenet import (
+        make_diff_image_extractor, make_feature_extractor)
+
+    model, variables = tiny_model
+    rgb = np.zeros((2, 32, 32, 3), np.uint8)
+
+    features = make_feature_extractor(model, variables)(jnp.asarray(rgb))
+    assert features.shape == (2, 1, 1, TINY.mid_filters)  # 32 / 2^5 = 1
+
+    diff = make_diff_image_extractor(model, variables)(jnp.asarray(rgb))
+    assert diff.shape == (2, 32, 32, 3)
+
+    diff_feats = make_diff_image_extractor(model, variables,
+                                           concat_features=True,
+                                           downsample=2)(jnp.asarray(rgb))
+    assert diff_feats.shape == (2, 16, 16, 3 + TINY.up_filters[0])
+
+
 def test_config_from_reference_conf():
     config = Config.from_file(
         "/root/reference/ACCESS2021_release/configs/FCN_LectureNet.conf")
