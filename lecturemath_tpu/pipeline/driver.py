@@ -114,6 +114,15 @@ class PipelineDriver:
                     raise ValueError(f"invalid dataset name <{name}>")
                 dataset_lectures.update(t.lower() for t in dataset.lecture_titles)
 
+        # multi-host sharding: "-shard i/n" keeps every n-th selected
+        # lecture starting at i (lectures are embarrassingly parallel across
+        # hosts over DCN; artifacts land in the shared output tree)
+        shard_index, shard_count = 0, 1
+        if "shard" in self.params:
+            shard_index, shard_count = (int(part) for part in
+                                        str(self.params["shard"]).split("/"))
+
+        position = 0
         for lecture in self.database.lectures:
             title = lecture.title.lower()
             if only_lectures is not None or dataset_lectures is not None:
@@ -122,6 +131,11 @@ class PipelineDriver:
                 if not selected:
                     print(f"Skipping <{lecture.title}>")
                     continue
+            if position % shard_count != shard_index:
+                position += 1
+                print(f"Skipping <{lecture.title}> (other shard)")
+                continue
+            position += 1
             print(f"Processing <{lecture.title}>")
             self.current_lecture = lecture
             yield lecture
@@ -148,14 +162,20 @@ class PipelineDriver:
     def run(self, process_fn: Callable[["PipelineDriver", LectureInfo, Any], Any]
             ) -> None:
         """Run a stage function over all selected lectures, relaying
-        artifacts (the start_input_processing equivalent)."""
-        for lecture in self.iter_lectures():
-            inputs = self.load_inputs(lecture)
-            with self.timer.measure(lecture.title):
-                results = process_fn(self, lecture, inputs)
-            print(f"Lecture done in "
-                  f"{self.timer.totals[lecture.title]:.2f}s")
-            self.save_outputs(lecture, results)
+        artifacts (the start_input_processing equivalent). Pass
+        ``-trace <dir>`` on the CLI to capture a jax profiler trace of the
+        stage."""
+        from ..core.timing import jax_trace
+
+        trace_dir = self.params.get("trace")
+        with jax_trace(trace_dir if isinstance(trace_dir, str) else None):
+            for lecture in self.iter_lectures():
+                inputs = self.load_inputs(lecture)
+                with self.timer.measure(lecture.title):
+                    results = process_fn(self, lecture, inputs)
+                print(f"Lecture done in "
+                      f"{self.timer.totals[lecture.title]:.2f}s")
+                self.save_outputs(lecture, results)
 
 
 def usage_check(argv: Sequence[str], require_config: bool = True) -> bool:
