@@ -25,6 +25,15 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# persistent XLA compile cache: the production-model compile dominates cold
+# bench runs (minutes through the remote-compile tunnel)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402  (after cache env)
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+
 BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 FRAMES = 48

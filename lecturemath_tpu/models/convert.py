@@ -99,7 +99,13 @@ def torch_state_dict_to_flax(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a torch .dat/.pth checkpoint file into flax variables."""
+    """Load a torch .dat/.pth checkpoint file into flax variables.
+
+    This covers the reference's TorchModelLoader role
+    (AccessMath/util/torch_model_loader.py). Its CaffeModelLoader
+    counterpart is not supported: caffe isn't available in modern stacks
+    and no caffe checkpoints ship with the reference release.
+    """
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)

@@ -47,12 +47,15 @@ class Binarizer:
 
     def __init__(self, model: FCNLectureNet, variables,
                  batch_size: Optional[int] = None, force_binary: bool = True,
-                 threshold: int = 128):
+                 threshold: int = 128, pipeline_depth: int = 2):
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
         self.force_binary = force_binary
         self.threshold = threshold
+        # in-flight device batches: deeper queues hide dispatch/transfer
+        # latency (significant through remote-tunnel device links)
+        self.pipeline_depth = max(1, pipeline_depth)
         self._binarize_fn = make_binarizer(model, variables,
                                            force_binary=force_binary,
                                            threshold=threshold)
@@ -154,7 +157,7 @@ class Binarizer:
             else:
                 device_binary, _, _ = self._binarize_fn(jnp.asarray(frames))
             pending.append((device_binary, batch))
-            if len(pending) > 1:
+            if len(pending) > self.pipeline_depth:
                 drain(pending.pop(0))
 
         for entry in pending:

@@ -254,6 +254,59 @@ def sample_frame_indices(video_paths: Sequence[str],
     return results
 
 
+def extract_frames_at_times(video_paths: Sequence[str],
+                            times_ms: Sequence[float],
+                            forced_resolution: Optional[Tuple[int, int]] = None
+                            ) -> List[Tuple[float, np.ndarray]]:
+    """Decode the frames nearest to the given absolute times (ms) across a
+    multi-file lecture (reference: Loader.extractFramesAbsolute/Relative,
+    content/loader.py:14). Returns [(time_ms, RGB frame)]."""
+    import cv2
+
+    # map times to absolute frame indices using each file's fps/length
+    remaining = sorted(float(t) for t in times_ms)
+    out: List[Tuple[float, np.ndarray]] = []
+    offset_ms = 0.0
+    offset_frames = 0
+    spans = []
+    for path in video_paths:
+        capture = cv2.VideoCapture(path)
+        fps = capture.get(cv2.CAP_PROP_FPS) or 30.0
+        n_frames = int(capture.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        capture.release()
+        spans.append((path, offset_ms, offset_frames, fps, n_frames))
+        offset_ms += (n_frames / fps) * 1000.0
+        offset_frames += n_frames
+
+    wanted_indices = []
+    for t in remaining:
+        for path, start_ms, start_frames, fps, n_frames in spans:
+            end_ms = start_ms + (n_frames / fps) * 1000.0
+            if start_ms <= t < end_ms or (t >= end_ms and
+                                          path == spans[-1][0]):
+                local = min(int(round((t - start_ms) / 1000.0 * fps)),
+                            n_frames - 1)
+                wanted_indices.append((start_frames + local, t))
+                break
+
+    frames = dict(sample_frame_indices(video_paths,
+                                       [i for i, _ in wanted_indices],
+                                       forced_resolution))
+    for index, t in wanted_indices:
+        if index in frames:
+            out.append((t, frames[index]))
+    return out
+
+
+def distribute_values(count: int, start: int, end: int) -> List[int]:
+    """``count`` evenly spaced integers in [start, end] (reference:
+    MiscHelper.distribute_values — used to pick alignment sample frames)."""
+    if count <= 1:
+        return [start]
+    return [int(round(start + (end - start) * k / (count - 1)))
+            for k in range(count)]
+
+
 def compress_png(frames: Sequence[np.ndarray]) -> List[np.ndarray]:
     """In-memory PNG encoding for reference-compatible stage artifacts
     (reference stores stage-01 output PNG-compressed,

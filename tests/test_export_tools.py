@@ -97,3 +97,29 @@ def test_visualizer_renderers(tmp_path):
                                  str(tmp_path / "plot.png"),
                                  intervals=[(2, 5)], title="test")
     assert os.path.exists(out)
+
+
+def test_extract_frames_at_times(tmp_path):
+    import cv2
+
+    from lecturemath_tpu.pipeline.video import (distribute_values,
+                                                extract_frames_at_times)
+
+    frames, _, _ = synthetic_lecture(seed=4, n_frames=4, height=48, width=64)
+    path = str(tmp_path / "clip2.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30.0,
+                             (64, 48))
+    for t in range(4):
+        rgb = np.stack([frames[t]] * 3, axis=-1)
+        for _ in range(30):
+            writer.write(rgb)
+    writer.release()
+
+    out = extract_frames_at_times([path], [0.0, 1500.0, 3900.0])
+    assert [t for t, _ in out] == [0.0, 1500.0, 3900.0]
+    # 1500ms lands mid-second-2 -> synthetic frame 1
+    agreement = ((out[1][1][:, :, 0] > 128) == (frames[1] > 0)).mean()
+    assert agreement > 0.95
+
+    assert distribute_values(5, 0, 100) == [0, 25, 50, 75, 100]
+    assert distribute_values(1, 3, 9) == [3]
