@@ -102,21 +102,38 @@ def export_binary_video(store: ArtifactStore, binary_prefix: str,
     with ThreadPoolExecutor(max_workers=workers) as pool:
         list(pool.map(write_block, [b * block_size for b in range(n_blocks)]))
 
-    audio_inputs = " ".join(f"-i {path}" for path in video_paths)
-    audio_filter = " ".join(f"[{k + 1}:a:0]" for k in range(len(video_paths)))
-    audio_filter += f" concat=n={len(video_paths)}:v=0:a=1 [audio]"
+    import shutil as _shutil
 
-    command = (
-        f"ffmpeg -y -framerate {fps:.2f} -start_number 0 "
-        f"-i {tmp_dir}/%d.png {audio_inputs} "
-        f"-filter_complex \"{audio_filter}\" -map 0:0 -map \"[audio]\" "
-        f"-pix_fmt yuv420p -vf \"scale=trunc(iw/2)*2:trunc(ih/2)*2\" "
-        f"-c:v libx264 -r {fps:.2f} -shortest {output_path}")
-    print(command)
-    result = subprocess.run(command, shell=True)
-    if result.returncode != 0:
-        print("ffmpeg failed; interpolated frames left in " + tmp_dir)
-        return output_path
+    if _shutil.which("ffmpeg") is not None:
+        audio_inputs = " ".join(f"-i {path}" for path in video_paths)
+        audio_filter = " ".join(f"[{k + 1}:a:0]"
+                                for k in range(len(video_paths)))
+        audio_filter += f" concat=n={len(video_paths)}:v=0:a=1 [audio]"
+
+        command = (
+            f"ffmpeg -y -framerate {fps:.2f} -start_number 0 "
+            f"-i {tmp_dir}/%d.png {audio_inputs} "
+            f"-filter_complex \"{audio_filter}\" -map 0:0 -map \"[audio]\" "
+            f"-pix_fmt yuv420p -vf \"scale=trunc(iw/2)*2:trunc(ih/2)*2\" "
+            f"-c:v libx264 -r {fps:.2f} -shortest {output_path}")
+        print(command)
+        result = subprocess.run(command, shell=True)
+        if result.returncode != 0:
+            print("ffmpeg failed; interpolated frames left in " + tmp_dir)
+            return output_path
+    else:
+        # no ffmpeg: write video-only output with OpenCV (no audio mux)
+        import cv2
+
+        print("ffmpeg not found; writing video without audio via OpenCV")
+        first = cv2.imread(os.path.join(tmp_dir, "0.png"))
+        writer = cv2.VideoWriter(output_path,
+                                 cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                 (first.shape[1], first.shape[0]))
+        for frame_idx in range(total_frames):
+            frame = cv2.imread(os.path.join(tmp_dir, f"{frame_idx}.png"))
+            writer.write(frame if frame is not None else first)
+        writer.release()
 
     for frame_idx in range(total_frames):
         path = os.path.join(tmp_dir, f"{frame_idx}.png")

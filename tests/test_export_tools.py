@@ -123,3 +123,26 @@ def test_extract_frames_at_times(tmp_path):
 
     assert distribute_values(5, 0, 100) == [0, 25, 50, 75, 100]
     assert distribute_values(1, 3, 9) == [3]
+
+
+def test_export_binary_video(tmp_path):
+    import cv2
+
+    from lecturemath_tpu.pipeline.export_video import export_binary_video
+
+    frames, _, _ = synthetic_lecture(seed=5, n_frames=4, height=48, width=64)
+    store = ArtifactStore(str(tmp_path / "temporal"))
+    times = [1000.0 * t for t in range(4)]
+    indices = [10 * t for t in range(4)]
+    store.save((times, indices, compress_png(list(frames))), "tempo_binary_",
+               "lecv")
+
+    lecture = LectureInfo("lecv", "lecv", main_videos=[{"path": "lecv.mp4"}])
+    out_path = str(tmp_path / "out.mp4")
+    export_binary_video(store, "tempo_binary_", lecture, [], out_path,
+                        fps=10.0, workers=2, block_size=16,
+                        tmp_dir=str(tmp_path / "frames"))
+    assert os.path.exists(out_path)
+    capture = cv2.VideoCapture(out_path)
+    assert int(capture.get(cv2.CAP_PROP_FRAME_COUNT)) == 31  # last idx 30 + 1
+    capture.release()
