@@ -71,7 +71,8 @@ def measure_ours():
 
     # warmup: compile the packed streaming forward once (the only device
     # computation the pipeline uses)
-    jax.block_until_ready(binarizer._packed_fn(jnp.asarray(rgb[:8])))
+    jax.block_until_ready(
+        binarizer._packed_fn(jnp.asarray(rgb[:binarizer.batch_size])))
 
     start = time.perf_counter()
 
