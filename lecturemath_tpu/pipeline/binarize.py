@@ -37,9 +37,11 @@ def resolve_model_size(width: int, height: int,
 
 
 def default_batch_size(width: int, height: int,
-                       pixel_budget: int = 8_000_000) -> int:
-    """Pick a batch size with roughly constant device memory footprint."""
-    return max(1, pixel_budget // max(1, width * height))
+                       pixel_budget: int = 8_000_000,
+                       max_batch: int = 64) -> int:
+    """Pick a batch size with roughly constant device memory footprint
+    (capped: tiny frames don't justify huge batches/compiles)."""
+    return max(1, min(max_batch, pixel_budget // max(1, width * height)))
 
 
 class Binarizer:
@@ -166,16 +168,33 @@ class Binarizer:
         return frame_times, frame_indices, binaries
 
     def _batched(self, source: VideoFrameSource, frames_limit: int):
-        if self.batch_size is not None:
-            batch_size = self.batch_size
-        else:
-            batch_size = None
-        for batch in source.batches(batch_size or 8, frames_limit):
-            if batch_size is None:
-                h, w = batch.frames.shape[1:3]
-                mw, mh = resolve_model_size(w, h)
-                batch_size = default_batch_size(mw, mh)
-            yield batch
+        batch_size = self.batch_size
+        if batch_size is None:
+            # peek the first frame to size batches by pixel budget
+            frame_iter = source.frames(frames_limit)
+            try:
+                first = next(frame_iter)
+            except StopIteration:
+                return
+            h, w = first[2].shape[:2]
+            mw, mh = resolve_model_size(w, h)
+            batch_size = default_batch_size(mw, mh)
+            self.batch_size = batch_size
+
+            import itertools
+
+            chained = itertools.chain([first], frame_iter)
+            buffer = []
+            for item in chained:
+                buffer.append(item)
+                if len(buffer) == batch_size:
+                    yield source._pack(buffer, batch_size, True)
+                    buffer = []
+            if buffer:
+                yield source._pack(buffer, batch_size, True)
+            return
+
+        yield from source.batches(batch_size, frames_limit)
 
 
 def _downscale_batch(frames: np.ndarray, model_size: Tuple[int, int]) -> np.ndarray:

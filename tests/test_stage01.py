@@ -42,3 +42,20 @@ def test_process_source():
     assert binaries[0].shape == (32, 32)
     assert binaries[0].dtype == np.uint8
     assert set(np.unique(binaries[0]).tolist()) <= {0, 255}
+
+
+def test_auto_batch_size():
+    model = FCNLectureNet(TINY)
+    import jax.numpy as jnp
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    binarizer = Binarizer(model, variables)  # batch_size=None -> auto
+
+    rgb, _, _, _ = synthetic_rgb_lecture(seed=3, n_frames=3, height=32,
+                                         width=32, glyphs_per_board=2,
+                                         glyph_size=(9, 9))
+    source = ArraySource(rgb, fps=1.0)
+    times, indices, binaries = binarizer.process_source(source)
+    assert len(binaries) == 3
+    assert binarizer.batch_size == 64  # capped auto batch for tiny frames
