@@ -90,6 +90,26 @@ class CCTracker:
         else:
             hits = np.zeros((0, len(active)), dtype=bool)
 
+        # batch all candidate-pair overlap counts in one native call
+        # (semantically identical to per-pair checks: acceptance is still
+        # first-passing-candidate in ascending unique-index order)
+        pair_rows, pair_cols = np.nonzero(hits)
+        matched_counts = None
+        if len(pair_rows) > 8:
+            from .. import native
+
+            if native.available():
+                cand_unique = active[pair_cols]
+                packed_prev = native.PackedMasks(
+                    [self.unique_ccs[u] for u in cand_unique])
+                packed_cur = native.PackedMasks(current)
+                matched = native.batch_overlap(
+                    packed_cur, packed_prev,
+                    np.stack([pair_rows, np.arange(len(pair_rows))], axis=1))
+                matched_counts = {
+                    (int(pair_rows[k]), int(cand_unique[k])): int(matched[k])
+                    for k in range(len(pair_rows))}
+
         for cur_idx, cc in enumerate(current):
             # candidate unique indices in ascending order (matches the
             # reference's sorted merge of interval-index hits)
@@ -98,7 +118,12 @@ class CCTracker:
             found = None
             for uidx in cand:
                 prev_cc = self.unique_ccs[uidx]
-                recall, precision = cc.overlap_recall_precision(prev_cc)
+                if matched_counts is not None:
+                    match = matched_counts[(cur_idx, int(uidx))]
+                    recall = match / float(cc.size)
+                    precision = match / float(prev_cc.size)
+                else:
+                    recall, precision = cc.overlap_recall_precision(prev_cc)
                 if recall >= self.min_recall and precision >= self.min_precision:
                     found = int(uidx)
                     break
@@ -207,12 +232,28 @@ class CCTracker:
         starts = {int(u): self.unique_cc_frames[u][0][0] for u in stable}
         ends = {int(u): self.unique_cc_frames[u][-1][0] for u in stable}
 
-        for offset_a, offset_b in zip(pair_a, pair_b):
+        # all-pairs matched-pixel counts in one native call (the stage-03
+        # hot loop; pure-python fallback below preserves exact semantics)
+        matched_counts = None
+        if len(pair_a) > 8:
+            from .. import native
+
+            if native.available():
+                packed = native.PackedMasks([self.unique_ccs[u] for u in stable])
+                matched_counts = native.batch_overlap(
+                    packed, packed, np.stack([pair_a, pair_b], axis=1))
+
+        for pair_idx, (offset_a, offset_b) in enumerate(zip(pair_a, pair_b)):
             u1 = int(stable[offset_a])
             u2 = int(stable[offset_b])
             cc1 = self.unique_ccs[u1]
             cc2 = self.unique_ccs[u2]
-            recall, precision = cc1.overlap_recall_precision(cc2)
+            if matched_counts is not None:
+                match = int(matched_counts[pair_idx])
+                recall = match / float(cc1.size)
+                precision = match / float(cc2.size)
+            else:
+                recall, precision = cc1.overlap_recall_precision(cc2)
             if recall > 0.0 or precision > 0.0:
                 matched = int(round(cc1.size * recall))
                 all_overlapping[u1].append((u2, matched, cc2.size, cc1.size))
