@@ -88,19 +88,26 @@ class Evaluator:
         group_of_f2: Dict[int, CCMatch] = {id(cc): CCMatch([], [cc])
                                            for cc in summ_ccs}
 
-        for s_cc in summ_ccs:
-            shifted = _shift(s_cc, disp_x, disp_y)
-            for g_cc in gt_ccs:
-                recall, _ = g_cc.overlap_recall_precision(shifted)
-                if recall > 0.0:
-                    match1 = group_of_f1[id(g_cc)]
-                    match2 = group_of_f2[id(s_cc)]
-                    if match1 is not match2:
-                        merged = CCMatch.merge(match1, match2)
-                        for cc in merged.frame1_ccs:
-                            group_of_f1[id(cc)] = merged
-                        for cc in merged.frame2_ccs:
-                            group_of_f2[id(cc)] = merged
+        # candidate pairs via one bbox-intersection matrix, matched-pixel
+        # counts via one native batch call (pairwise_overlap falls back to
+        # exact per-pair python); a pair connects when >= 1 pixel matches
+        # (the reference's recall > 0 test, :181)
+        from ..ops.overlap import candidate_pairs, pairwise_overlap
+
+        shifted_summ = [_shift(cc, disp_x, disp_y) for cc in summ_ccs]
+        pairs = candidate_pairs(list(gt_ccs), shifted_summ)
+        matches = pairwise_overlap(list(gt_ccs), shifted_summ, pairs)
+
+        for (g_idx, s_idx), match_count in zip(pairs, matches):
+            if match_count > 0:
+                match1 = group_of_f1[id(gt_ccs[g_idx])]
+                match2 = group_of_f2[id(summ_ccs[s_idx])]
+                if match1 is not match2:
+                    merged = CCMatch.merge(match1, match2)
+                    for cc in merged.frame1_ccs:
+                        group_of_f1[id(cc)] = merged
+                    for cc in merged.frame2_ccs:
+                        group_of_f2[id(cc)] = merged
 
         unique = {id(m): m for m in group_of_f1.values()}
         unique.update({id(m): m for m in group_of_f2.values()})
