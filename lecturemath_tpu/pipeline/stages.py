@@ -45,7 +45,11 @@ def stage01_binarize(driver: PipelineDriver, lecture: LectureInfo,
 def stage02_cc_analysis(driver: PipelineDriver, lecture: LectureInfo,
                         inputs: Any):
     """Track unique CCs over the binarized frames
-    (reference: pre_ST3D_v3.0_02_cc_analaysis.py:19-57)."""
+    (reference: pre_ST3D_v3.0_02_cc_analaysis.py:19-57).
+
+    Set CC_ANALYSIS_DEVICE_LABELING=1 to run CC labeling itself on device
+    (ops/cc_label.py min-propagation kernel, batched); labeling otherwise
+    uses the fused native C++ pass. Both produce identical components."""
     frame_times, frame_indices, compressed = inputs
     binaries = decompress_png(compressed)
 
@@ -56,8 +60,22 @@ def stage02_cc_analysis(driver: PipelineDriver, lecture: LectureInfo,
         min_precision=config.get_float("CC_STABILITY_MIN_PRECISION", 0.925),
         max_gap=config.get_int("CC_STABILITY_MAX_GAP", 85))
 
-    for frame in binaries:
-        tracker.add_frame(frame)
+    if config.get_bool("CC_ANALYSIS_DEVICE_LABELING", False):
+        from ..data.cc import extract_ccs
+        from ..ops.cc_label import compact_labels, label_components_batch
+
+        batch_size = config.get_int("CC_ANALYSIS_DEVICE_BATCH", 16)
+        for start in range(0, len(binaries), batch_size):
+            chunk = binaries[start:start + batch_size]
+            batch = np.stack(chunk)
+            device_labels = np.asarray(label_components_batch(batch))
+            for labels in device_labels[:len(chunk)]:
+                compacted, n_labels = compact_labels(labels)
+                tracker.add_frame_ccs(
+                    extract_ccs(None, labels=compacted, n_labels=n_labels))
+    else:
+        for frame in binaries:
+            tracker.add_frame(frame)
 
     return frame_times, frame_indices, tracker
 

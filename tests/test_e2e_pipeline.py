@@ -191,3 +191,22 @@ def test_video_frame_source_sampling(tmp_path, synthetic):
     assert batches[0].frames.shape == (2, 96, 128, 3)
     assert batches[1].valid == 1
     assert batches[1].frames.shape == (2, 96, 128, 3)  # padded
+
+
+def test_stage02_device_labeling(workspace, synthetic):
+    """Device CC labeling yields the identical tracker state."""
+    driver = make_driver(workspace, "BINARIZATION_OUTPUT", None)
+    driver.config.set("CC_ANALYSIS_DEVICE_LABELING", 1)
+    lecture = driver.database.lectures[0]
+    inputs = driver.load_inputs(lecture)
+
+    _, _, device_tracker = stage02_cc_analysis(driver, lecture, inputs)
+    driver.config.set("CC_ANALYSIS_DEVICE_LABELING", 0)
+    _, _, host_tracker = stage02_cc_analysis(driver, lecture, inputs)
+
+    assert len(device_tracker.unique_ccs) == len(host_tracker.unique_ccs)
+    assert device_tracker.unique_cc_frames == host_tracker.unique_cc_frames
+    for a, b in zip(device_tracker.unique_ccs, host_tracker.unique_ccs):
+        assert (a.min_x, a.max_x, a.min_y, a.max_y, a.size) == \
+            (b.min_x, b.max_x, b.min_y, b.max_y, b.size)
+        np.testing.assert_array_equal(a.img, b.img)
