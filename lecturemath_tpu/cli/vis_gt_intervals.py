@@ -9,7 +9,6 @@ import sys
 
 import numpy as np
 
-from ..core.artifacts import ArtifactStore
 from ..eval.lecture_annotation import LectureAnnotation
 from ..pipeline.driver import PipelineDriver, usage_check
 from ..pipeline.segmentation import binary_sums

@@ -10,7 +10,7 @@ and the hot pairwise-overlap path lives in ops/overlap.py as batched array ops.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -15,7 +15,7 @@ schema match the reference SegmentationTree
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

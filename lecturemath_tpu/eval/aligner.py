@@ -12,7 +12,7 @@ reference's stable sort (first maximum in dy-major, dx-minor scan order).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -21,14 +21,14 @@ Keyframe alignments run batched through the FFT aligner instead of a
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..data.cc import CC, merge_ccs
 from .aligner import AlignInfo, translation_alignment
-from .annotation import KeyframeAnnotation, UniqueCCGroup, cc_str_id
+from .annotation import cc_str_id
 
 
 @dataclass

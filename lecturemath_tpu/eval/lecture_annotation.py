@@ -10,7 +10,7 @@ video_object.py:7-200, video_object_location.py:5-110, drawing_info.py).
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

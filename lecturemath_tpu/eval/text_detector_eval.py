@@ -9,7 +9,7 @@ candidates.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 from scipy import ndimage

@@ -11,7 +11,7 @@ sampled frame pairs, like the reference.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -23,8 +23,8 @@ GELU uses the exact (erf) form to match torch's default nn.GELU.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

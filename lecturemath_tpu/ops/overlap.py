@@ -12,7 +12,7 @@ cc_stability_estimator.py:73-106) with:
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

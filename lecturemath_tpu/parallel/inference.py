@@ -9,8 +9,6 @@ This replaces nothing in the reference — it was single-GPU batch-1
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

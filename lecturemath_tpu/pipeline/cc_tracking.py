@@ -20,7 +20,7 @@ sweep), and active-set state lives in growable numpy arrays.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

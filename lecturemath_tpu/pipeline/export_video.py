@@ -12,7 +12,7 @@ import math
 import os
 import subprocess
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -8,7 +8,7 @@ work — the formats are pickle-compatible.
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any
 
 import numpy as np
 
