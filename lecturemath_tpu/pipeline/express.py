@@ -1,0 +1,151 @@
+"""Express pipeline: all five stages in one pass per lecture.
+
+The reference relays every stage through PNG-compressed pickle files on
+disk (SURVEY.md §1: the pickle-file relay IS the dataflow layer). This
+runner chains the same stage logic in memory — binary frames go straight
+from the device into CC tracking — and only writes artifacts/summary when
+asked, removing two PNG encode/decode round trips per frame.
+
+Results are identical to running the staged CLIs (tested)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..core.metadata import LectureInfo
+from ..data.space_time import SpaceTimeStruct
+from .binarize import Binarizer
+from .cc_tracking import CCTracker
+from .driver import PipelineDriver
+from .keyframes import close_interval_gaps, export_summary, extract_keyframes
+from .video import VideoFrameSource, compress_png
+from . import segmentation as seg
+
+
+def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
+                binarizer: Optional[Binarizer] = None,
+                source=None, save_artifacts: bool = False,
+                export: bool = True, frames_limit: int = 0):
+    """Run binarize -> CC -> grouping -> segmentation -> summary for one
+    lecture in memory. Returns (summary_indices, summary_times, keyframes).
+    """
+    import os
+
+    config = driver.config
+
+    # ------------------------------------------------------------ stage 01
+    if binarizer is None:
+        binarizer = Binarizer.from_config(config)
+    if source is None:
+        fps = config.get_float("SAMPLING_FPS", 1.0)
+        source = VideoFrameSource(driver.video_paths(lecture), fps,
+                                  lecture.forced_resolution)
+    frame_times, frame_indices, binaries = binarizer.process_source(
+        source, frames_limit)
+
+    if save_artifacts:
+        driver.store.save((frame_times, frame_indices, compress_png(binaries)),
+                          config.get_str("BINARIZATION_OUTPUT", "tempo_binary_"),
+                          lecture.id)
+
+    # ------------------------------------------------------------ stage 02
+    height, width = binaries[0].shape
+    tracker = CCTracker(
+        width=width, height=height,
+        min_recall=config.get_float("CC_STABILITY_MIN_RECALL", 0.925),
+        min_precision=config.get_float("CC_STABILITY_MIN_PRECISION", 0.925),
+        max_gap=config.get_int("CC_STABILITY_MAX_GAP", 85))
+    for frame in binaries:
+        tracker.add_frame(frame)
+
+    # ------------------------------------------------------------ stage 03
+    min_image_threshold = config.get_float("CC_GROUPING_MIN_IMAGE_THRESHOLD", 0.5)
+    min_recall = config.get("CC_GROUPING_MIN_RECALL", 0.0)
+    max_gap = config.get_int("CC_STABILITY_MAX_GAP", 85)
+    min_times = config.get_int("CC_STABILITY_MIN_TIMES", 3)
+    t_window = config.get_int("CC_GROUPING_TEMPORAL_WINDOW", 5)
+
+    tracker.split_stable_by_gaps(max_gap, min_times)
+    stable = tracker.stable_cc_idxs(min_times)
+    time_overlapping, _, all_overlapping = \
+        tracker.compute_overlapping_stable(stable, t_window)
+    groups, group_of = tracker.compute_groups(stable, time_overlapping,
+                                              min_recall)
+    group_ages, groups_per_frame = tracker.compute_group_ages(groups)
+    conflicts = tracker.compute_conflicts(stable, all_overlapping,
+                                          len(groups), group_of)
+    group_images, group_boundaries = tracker.compute_group_images(
+        groups, group_ages, min_image_threshold)
+
+    st3d = SpaceTimeStruct(frame_times, frame_indices, height, width,
+                           group_ages, group_images, group_boundaries)
+
+    if save_artifacts:
+        clean = tracker.clean_frames_from_groups(
+            groups, group_boundaries, groups_per_frame, group_ages,
+            group_images)
+        driver.store.save(
+            (frame_times, frame_indices, compress_png(clean)),
+            config.get_str("CC_RECONSTRUCTED_OUTPUT", "tempo_bin_reconstructed_"),
+            lecture.id)
+        driver.store.save((group_ages, conflicts),
+                          config.get_str("CC_CONFLICTS_OUTPUT",
+                                         "tempo_cc_conflicts_"), lecture.id)
+        driver.store.save(st3d,
+                          config.get_str("CC_ST3D_OUTPUT", "tempo_cc_ST3D_"),
+                          lecture.id)
+
+    # ------------------------------------------------------------ stage 04
+    method = config.get_int("VIDEO_SEGMENTATION_METHOD", 3)
+    n_frames = len(frame_indices)
+    if method == 3:
+        intervals = seg.segments_from_deletion_events(
+            group_ages, group_boundaries, n_frames, float(width * height),
+            config.get_float("VIDEO_SEGMENTATION_DEL_EVENT_ADD_THRESHOLD", 10),
+            config.get_int("VIDEO_SEGMENTATION_DEL_EVENT_MIN_LENGTH", 15),
+            config.get_float("VIDEO_SEGMENTATION_DEL_EVENT_THRESHOLD", 0.25))
+    elif method == 2:
+        intervals = seg.segments_from_conflicts(
+            n_frames, group_ages, conflicts,
+            config.get("VIDEO_SEGMENTATION_CONFLICTS_MIN_CONFLICTS", 3.0),
+            config.get_int("VIDEO_SEGMENTATION_CONFLICTS_MIN_SPLIT", 50),
+            config.get_int("VIDEO_SEGMENTATION_CONFLICTS_MIN_LENGTH", 25),
+            config.get_int("VIDEO_SEGMENTATION_CONFLICTS_WEIGHTS", 0),
+            config.get_int("VIDEO_SEGMENTATION_CONFLICTS_WEIGHTS_PIXELS", 0),
+            config.get_int("VIDEO_SEGMENTATION_CONFLICTS_WEIGHTS_TIME", 0))
+    else:
+        clean = tracker.clean_frames_from_groups(
+            groups, group_boundaries, groups_per_frame, group_ages,
+            group_images)
+        intervals = seg.segments_from_sums(
+            seg.binary_sums(clean),
+            seg.leaf_min_from_config(
+                config.get_int("VIDEO_SEGMENTATION_SUM_MIN_SEGMENT", 10),
+                config.get_float("SAMPLING_FPS", 1.0)),
+            config.get_float("VIDEO_SEGMENTATION_SUM_MIN_ERASE_RATIO", 0.05))
+
+    if save_artifacts:
+        driver.store.save(intervals,
+                          config.get_str("VIDEO_SEGMENTATION_OUTPUT",
+                                         "tempo_intervals_"), lecture.id)
+
+    # ------------------------------------------------------------ stage 05
+    keyframes, cc_times = extract_keyframes(st3d, intervals)
+    idx_intervals, time_intervals, summary_indices, summary_times = \
+        close_interval_gaps(st3d, intervals)
+
+    if export:
+        prefix = os.path.join(
+            driver.summaries_dir,
+            f"{driver.database.name}_{lecture.title.lower()}")
+        export_summary(prefix, driver.database.name, lecture.title,
+                       [v["path"] for v in lecture.main_videos],
+                       idx_intervals, time_intervals, summary_indices,
+                       summary_times, keyframes, cc_times)
+
+    if save_artifacts:
+        driver.store.save(((summary_indices, summary_times, keyframes),),
+                          config.get_str("SUMMARY_KEYFRAMES_OUTPUT",
+                                         "tempo_segments_"), lecture.id)
+
+    return summary_indices, summary_times, keyframes

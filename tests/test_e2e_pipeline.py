@@ -210,3 +210,43 @@ def test_stage02_device_labeling(workspace, synthetic):
         assert (a.min_x, a.max_x, a.min_y, a.max_y, a.size) == \
             (b.min_x, b.max_x, b.min_y, b.max_y, b.size)
         np.testing.assert_array_equal(a.img, b.img)
+
+
+def test_express_matches_staged(workspace, synthetic):
+    """The single-pass express runner reproduces the staged results."""
+    import jax
+
+    from lecturemath_tpu.models.fcn_lecturenet import (FCNConfig,
+                                                       FCNLectureNet,
+                                                       init_variables)
+    from lecturemath_tpu.pipeline.binarize import Binarizer
+    from lecturemath_tpu.pipeline.express import run_lecture
+    from lecturemath_tpu.pipeline.video import ArraySource
+
+    frames, _, _ = synthetic
+
+    class CleanBinarizer(Binarizer):
+        """Bypass the model: feed the synthetic binaries directly so express
+        and staged runs share identical stage-01 output."""
+
+        def __init__(self):
+            pass
+
+        def process_source(self, source, frames_limit=0, invert=True):
+            times = [1000.0 * t for t in range(len(frames))]
+            indices = [30 * t for t in range(len(frames))]
+            return times, indices, [f.copy() for f in frames]
+
+    driver = make_driver(workspace, None, None)
+    lecture = driver.database.lectures[0]
+    indices, times, keyframes = run_lecture(driver, lecture, CleanBinarizer(),
+                                            export=False)
+
+    # staged results were produced by test_stage05 over the same frames
+    (staged_indices, staged_times, staged_keyframes), = \
+        driver.store.load("tempo_segments_", "synth01")
+    assert indices == staged_indices
+    assert times == staged_times
+    assert len(keyframes) == len(staged_keyframes)
+    for mine, theirs in zip(keyframes, staged_keyframes):
+        np.testing.assert_array_equal(mine, theirs)
