@@ -144,7 +144,11 @@ class Trainer:
             import shutil
 
             shutil.rmtree(ckpt_dir)
-        ocp.StandardCheckpointer().save(ckpt_dir, jax.device_get(state))
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(ckpt_dir, jax.device_get(state))
+        # StandardCheckpointer saves asynchronously; block so the checkpoint
+        # is durable before we report the epoch as resumable
+        checkpointer.wait_until_finished()
 
     def restore_resume_checkpoint(self, state_like: TrainState,
                                   ckpt_dir: str) -> TrainState:

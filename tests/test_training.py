@@ -135,3 +135,66 @@ def test_reset_main_branches():
     assert not np.allclose(
         np.asarray(variables["params"]["out_conv"]["kernel"]),
         np.asarray(reset["params"]["out_conv"]["kernel"]))
+
+
+def test_run_phase_curriculum(image_files, tmp_path):
+    """Full curriculum through run_phase: rec pretrain -> binarizer with
+    warm start + head reset, including .bak checkpoints and resume file."""
+    import os
+
+    from lecturemath_tpu.core.config import Config
+    from lecturemath_tpu.train.trainer import run_phase
+
+    images, gts = image_files
+    config = Config({
+        "FCN_BINARIZER_NET_DOWN_CONV_FILTERS_1": 2,
+        "FCN_BINARIZER_NET_DOWN_CONV_FILTERS_2": 3,
+        "FCN_BINARIZER_NET_DOWN_CONV_FILTERS_3": 4,
+        "FCN_BINARIZER_NET_DOWN_CONV_FILTERS_4": 5,
+        "FCN_BINARIZER_NET_DOWN_CONV_FILTERS_5": 6,
+        "FCN_BINARIZER_NET_MIDDLE_CONV_FILTERS_MIDDLE": 6,
+        "FCN_BINARIZER_NET_UPSAMPLE_FILTERS_5": 6,
+        "FCN_BINARIZER_NET_UP_CONV_FILTERS_5": 6,
+        "FCN_BINARIZER_NET_UPSAMPLE_FILTERS_4": 5,
+        "FCN_BINARIZER_NET_UP_CONV_FILTERS_4": 5,
+        "FCN_BINARIZER_NET_UPSAMPLE_FILTERS_3": 4,
+        "FCN_BINARIZER_NET_UP_CONV_FILTERS_3": 4,
+        "FCN_BINARIZER_NET_UPSAMPLE_FILTERS_2": 3,
+        "FCN_BINARIZER_NET_UP_CONV_FILTERS_2": 3,
+        "FCN_BINARIZER_NET_UPSAMPLE_FILTERS_1": 2,
+        "FCN_BINARIZER_NET_UP_CONV_FILTERS_1": 2,
+        "FCN_BINARIZER_NET_PIXEL_FEATURES_1": 4,
+        "FCN_BINARIZER_NET_PIXEL_FEATURES_2": 3,
+        "FCN_BINARIZER_NET_PIXEL_KERNEL_SIZE": 3,
+        "FCN_BINARIZER_NET_KERNEL_SIZE": 3,
+        "FCN_BINARIZER_TRAIN_CROP_SIZE": (32, 32),
+        "FCN_BINARIZER_PRETRAIN_REC_LEARNING_RATE": 0.01,
+        "FCN_BINARIZER_TRAIN_LEARNING_RATE": 0.01,
+        "FCN_BINARIZER_PRETRAIN_RECONSTRUCTION_OUTPUT":
+            str(tmp_path / "rec.msgpack"),
+        "FCN_BINARIZER_TRAIN_OUTPUT": str(tmp_path / "bin.msgpack"),
+    })
+
+    rec_dataset = make_dataset(images, None, crop_size=(32, 32),
+                               weight_expansion=None, text_mask_expansion=None)
+    rec_dataset.reconstruction_mode = True
+    rec_path = run_phase(config, "reconstruction", rec_dataset,
+                         epochs_override=2, batch_size_override=2,
+                         verbose=False)
+    assert os.path.exists(rec_path)
+    assert os.path.exists(rec_path + ".epoch_2.bak")
+    assert os.path.isdir(rec_path + ".resume")
+
+    bin_dataset = make_dataset(images, gts, crop_size=(32, 32))
+    bin_path = run_phase(config, "binarizer", bin_dataset,
+                         warm_start_path=rec_path,
+                         warm_start_is_reconstruction=True,
+                         epochs_override=1, batch_size_override=2,
+                         verbose=False)
+    assert os.path.exists(bin_path)
+
+    # the saved checkpoint loads back into a Binarizer
+    from lecturemath_tpu.pipeline.binarize import load_checkpoint_variables
+
+    variables = load_checkpoint_variables(bin_path)
+    assert "params" in variables and "batch_stats" in variables
