@@ -1,9 +1,14 @@
 """The five pipeline stages, mirroring pre_ST3D_v3.0_01..05 (reference repo
 root scripts) over the TPU-native building blocks.
 
-Stage artifacts keep the reference's tuple shapes and PNG compression so
-mixed runs (our stage N feeding the reference's stage N+1 or vice versa)
-work — the formats are pickle-compatible.
+Artifact compatibility: plain-data artifacts keep the reference's exact
+shapes — the stage-01 binary tuple (times, indices, PNG buffers), the
+stage-04 interval list, and the stage-03 conflict dicts — so those can be
+exchanged with a reference installation directly. The stage-02 tracker and
+stage-03 ST3D artifacts pickle custom classes on both sides and are
+implementation-specific (the reference's equally require its own package
+to unpickle); exchange at those boundaries goes through the exported
+summary/XML formats instead.
 """
 
 from __future__ import annotations
