@@ -448,6 +448,73 @@ class Evaluator:
 
     # --------------------------------------------------------- reporting
 
+    def print_recall_tables(self, scope_metrics, scope: str) -> None:
+        """Per-threshold GT-match tables (reference:
+        print_summary_recall_metrics, evaluator.py:778-813)."""
+        if self.params.show_counts:
+            print(f"Matching Params\t|\tGround Truth Matches (Count - {scope})")
+            print("Min. R.\tMin. P.\t|\tE + P\t|\tE. Only\tP. Only\tMiss\tTotal")
+            for entry in scope_metrics:
+                r = entry["recall_metrics"]
+                print(f"{entry['min_cc_recall'] * 100:.2f}\t"
+                      f"{entry['min_cc_precision'] * 100:.2f}\t|\t"
+                      f"{r['exact_matches'] + r['partial_matches']}\t|\t"
+                      f"{r['exact_matches']}\t{r['partial_matches']}\t"
+                      f"{r['unmatched']}\t{r['count']}")
+        for flag, title, keys in (
+                (self.params.show_avg_per_frame, "Per Frame Recall",
+                 ("avg_recall", "avg_only_exact_recall",
+                  "avg_only_partial_recall")),
+                (self.params.show_globals, "Unique CC Recall",
+                 ("recall", "only_exact_recall", "only_partial_recall"))):
+            if not flag:
+                continue
+            print(f"\nMatching Params\t|\tGround Truth Matches "
+                  f"({title} - {scope})")
+            print("Min. R.\tMin. P.\t|\tE + P\t|\tE. Only\tP. Only")
+            for entry in scope_metrics:
+                r = entry["recall_metrics"]
+                print(f"{entry['min_cc_recall'] * 100:.2f}\t"
+                      f"{entry['min_cc_precision'] * 100:.2f}\t|\t"
+                      f"{r[keys[0]] * 100:.2f}\t|\t{r[keys[1]] * 100:.2f}\t"
+                      f"{r[keys[2]] * 100:.2f}")
+
+    def print_precision_tables(self, scope_metrics, scope: str) -> None:
+        """Per-threshold summary-match tables (reference:
+        print_summary_precision_metrics, evaluator.py:815-863)."""
+        if self.params.show_counts:
+            print(f"\nMatching Params\t|\tSummary Matches (Count - {scope})")
+            print("Min. R.\tMin. P.\t|\tE + P\t|\tE. Only\tP. Only\tMiss\t"
+                  "BG. Miss\tTotal")
+            for entry in scope_metrics:
+                p = entry["precision_metrics"]
+                e, pa = sum(p["exact_matches"]), sum(p["partial_matches"])
+                um, bg = sum(p["unmatched"]), sum(p["bg_unmatched"])
+                print(f"{entry['min_cc_recall'] * 100:.2f}\t"
+                      f"{entry['min_cc_precision'] * 100:.2f}\t|\t{e + pa}\t|\t"
+                      f"{e}\t{pa}\t{um}\t{bg}\t{e + pa + um}")
+        for flag, title, keys in (
+                (self.params.show_avg_per_frame, "AVG Precision per Frame",
+                 ("avg_precision", "avg_only_exact_precision",
+                  "avg_only_partial_precision", "avg_prc_bg_not_matched",
+                  "avg_no_bg_precision")),
+                (self.params.show_globals, "Global Precision",
+                 ("precision", "only_exact_precision",
+                  "only_partial_precision", "global_bg_unmatched",
+                  "no_bg_precision"))):
+            if not flag:
+                continue
+            print(f"\nMatching Params\t|\tSummary Matches ({title} - {scope})")
+            print("Min. R.\tMin. P.\t|\tE + P\t|\tE. Only\tP. Only\tBG. %\t"
+                  "No BG P.")
+            for entry in scope_metrics:
+                p = entry["precision_metrics"]
+                print(f"{entry['min_cc_recall'] * 100:.2f}\t"
+                      f"{entry['min_cc_precision'] * 100:.2f}\t|\t"
+                      f"{p[keys[0]] * 100:.2f}\t|\t{p[keys[1]] * 100:.2f}\t"
+                      f"{p[keys[2]] * 100:.2f}\t{p[keys[3]] * 100:.2f}\t"
+                      f"{p[keys[4]] * 100:.2f}")
+
     def print_cc_metrics(self, scope_metrics, scope: str) -> None:
         """Compact tab-separated metric tables
         (reference: print_compact_CC_metrics, :865-962)."""

@@ -176,9 +176,16 @@ class ImageListSource(VideoFrameSource):
     def frames(self, frames_limit: int = 0):
         import cv2
 
+        ext = self.img_extension.lstrip(".")
         if self.index is not None:
-            entries = [(e.get("abs_time", k * 1000.0), e.get("abs_index", k),
-                        e["file"]) for k, e in enumerate(self.index["frames"])]
+            # reference index.json: {frame_id: {abs_time, frame_idx, ...}}
+            # with files named <frame_id>.<ext>
+            # (reference: image_list_processor.py:16-45; frame id 0 is a
+            # synthetic time origin with no image file)
+            frame_ids = sorted(int(k) for k in self.index)
+            entries = [(self.index[str(fid)].get("abs_time", fid * 1000.0),
+                        fid, f"{fid}.{ext}")
+                       for fid in frame_ids if fid != 0]
         else:
             files = sorted(f for f in os.listdir(self.image_dir)
                            if f.endswith(self.img_extension))
@@ -188,6 +195,8 @@ class ImageListSource(VideoFrameSource):
             if frames_limit and count >= frames_limit:
                 return
             frame = cv2.imread(os.path.join(self.image_dir, filename))
+            if frame is None:
+                continue
             if self.forced_resolution is not None:
                 fw, fh = self.forced_resolution
                 if (frame.shape[1], frame.shape[0]) != (fw, fh):

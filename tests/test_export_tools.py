@@ -146,3 +146,27 @@ def test_export_binary_video(tmp_path):
     capture = cv2.VideoCapture(out_path)
     assert int(capture.get(cv2.CAP_PROP_FRAME_COUNT)) == 31  # last idx 30 + 1
     capture.release()
+
+
+def test_image_list_source_reference_index(tmp_path):
+    import json
+
+    import cv2
+
+    from lecturemath_tpu.pipeline.video import ImageListSource
+
+    frames, _, _ = synthetic_lecture(seed=6, n_frames=3, height=48, width=64)
+    index = {"0": {"video_time": 0.0, "frame_idx": 0, "abs_time": 0.0,
+                   "video_idx": 0}}
+    for k, fid in enumerate((30, 60, 90)):
+        cv2.imwrite(str(tmp_path / f"{fid}.png"),
+                    np.stack([frames[k]] * 3, axis=-1))
+        index[str(fid)] = {"video_time": fid / 30.0, "frame_idx": fid,
+                           "abs_time": fid / 30.0 * 1000.0, "video_idx": 0}
+    (tmp_path / "index.json").write_text(json.dumps(index))
+
+    source = ImageListSource(str(tmp_path))
+    out = list(source.frames())
+    assert [(t, i) for t, i, _ in out] == [(1000.0, 30), (2000.0, 60),
+                                           (3000.0, 90)]
+    np.testing.assert_array_equal(out[0][2][:, :, 0], frames[0])
