@@ -44,10 +44,10 @@ def threshold_binarize(logits: jnp.ndarray, threshold: int = 128,
         grid=grid,
         in_specs=[pl.BlockSpec((1, tile_rows, w),
                                lambda i, j: (i, j, 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, tile_rows, w), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         interpret=interpret,
     )(logits)
