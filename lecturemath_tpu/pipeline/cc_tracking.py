@@ -63,8 +63,7 @@ class CCTracker:
             for cc in current:
                 frame_entries.append((self._add_unique(cc), cc))
         else:
-            matched_unique = self._match_frame(current, frame_entries)
-            del matched_unique  # kept for clarity; _match_frame filled entries
+            self._match_frame(current, frame_entries)
 
         self._retire_inactive()
         self.cc_idx_per_frame.append(frame_entries)
@@ -160,6 +159,11 @@ class CCTracker:
 
     def raw_cc_count(self) -> int:
         return sum(len(frame) for frame in self.cc_idx_per_frame)
+
+    def temporal_index(self) -> List[List[int]]:
+        """Per-frame unique-CC index lists (reference: get_temporal_index,
+        cc_stability_estimator.py:238-243)."""
+        return [[uidx for uidx, _ in frame] for frame in self.cc_idx_per_frame]
 
     def rebuilt_binary_frames(self) -> List[np.ndarray]:
         return [render_ccs([cc for _, cc in frame], self.height, self.width)
