@@ -31,7 +31,7 @@ _BG = jnp.iinfo(jnp.int32).max
 
 
 def _tile_kernel(binary_ref, out_ref, *, tile_h: int, tile_w: int,
-                 width: int, max_iters: int):
+                 width: int, max_iters: int, use_jump: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -51,6 +51,11 @@ def _tile_kernel(binary_ref, out_ref, *, tile_h: int, tile_w: int,
         return jnp.where(fg, jnp.minimum(lab, merged), _BG)
 
     def jump(lab):
+        # pointer jumping needs an arbitrary point gather, which Mosaic
+        # does not support (axis gathers only) — so the real-TPU path runs
+        # propagation-only (fixed point reached after at most the longest
+        # in-tile geodesic path; the while_loop exits as soon as nothing
+        # changes). Interpreter/CPU runs keep jumping for fast convergence.
         flat = lab.reshape(-1)
         safe = jnp.where(flat == _BG, 0, flat)
         jumped = jnp.take(flat, safe, axis=0)
@@ -58,7 +63,9 @@ def _tile_kernel(binary_ref, out_ref, *, tile_h: int, tile_w: int,
 
     def body(state):
         lab, _, it = state
-        new = jump(jump(neighbor_min(lab)))
+        new = neighbor_min(lab)
+        if use_jump:
+            new = jump(jump(new))
         return new, jnp.any(new != lab), it + 1
 
     def cond(state):
@@ -77,7 +84,7 @@ def _tile_kernel(binary_ref, out_ref, *, tile_h: int, tile_w: int,
 
 @partial(jax.jit, static_argnames=("tile", "max_iters", "interpret"))
 def _label_tiles(binary: jnp.ndarray, tile: Tuple[int, int] = (256, 256),
-                 max_iters: int = 4096, interpret: bool = False) -> jnp.ndarray:
+                 max_iters: int = 65536, interpret: bool = False) -> jnp.ndarray:
     """Phase 1: per-tile labels (global-linear-index roots + 1; 0 = bg)."""
     h, w = binary.shape
     tile_h = min(tile[0], h)
@@ -89,7 +96,7 @@ def _label_tiles(binary: jnp.ndarray, tile: Tuple[int, int] = (256, 256),
 
     out = pl.pallas_call(
         partial(_tile_kernel, tile_h=tile_h, tile_w=tile_w, width=pw,
-                max_iters=max_iters),
+                max_iters=max_iters, use_jump=interpret),
         out_shape=jax.ShapeDtypeStruct((1, ph, pw), jnp.int32),
         grid=(ph // tile_h, pw // tile_w),
         in_specs=[pl.BlockSpec((1, tile_h, tile_w),
@@ -140,11 +147,8 @@ def label_components_tiled(binary: np.ndarray,
 
     pairs = np.unique(np.concatenate(pairs), axis=0)
     unique_labels = np.unique(labels[labels > 0])
-    index_of = {int(lab): k for k, lab in enumerate(unique_labels)}
-    row = np.fromiter((index_of[int(a)] for a, _ in pairs), dtype=np.int64,
-                      count=len(pairs))
-    col = np.fromiter((index_of[int(b)] for _, b in pairs), dtype=np.int64,
-                      count=len(pairs))
+    row = np.searchsorted(unique_labels, pairs[:, 0])
+    col = np.searchsorted(unique_labels, pairs[:, 1])
     n = len(unique_labels)
     graph = coo_matrix((np.ones(len(pairs)), (row, col)), shape=(n, n))
     n_components, component = connected_components(graph, directed=False)
