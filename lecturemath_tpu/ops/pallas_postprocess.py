@@ -24,9 +24,11 @@ _TILE_ROWS = 256
 
 def _postprocess_kernel(logits_ref, out_ref, *, threshold: int):
     prob = jax.nn.sigmoid(logits_ref[:].astype(jnp.float32))
-    # Mosaic has no f32->uint8 cast; go through int32 and select uint8
+    # Mosaic (this toolchain) supports neither f32->uint8 casts nor uint8
+    # stores; the kernel emits int32 {0,255} and the caller's fused XLA
+    # cast narrows it on the way to HBM
     scaled = (prob * 255.0).astype(jnp.int32)
-    out_ref[:] = jnp.where(scaled >= threshold, jnp.uint8(255), jnp.uint8(0))
+    out_ref[:] = jnp.where(scaled >= threshold, 255, 0).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("threshold", "interpret"))
@@ -38,9 +40,9 @@ def threshold_binarize(logits: jnp.ndarray, threshold: int = 128,
     tile_rows = min(_TILE_ROWS, h)
     grid = (b, pl.cdiv(h, tile_rows))
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_postprocess_kernel, threshold=threshold),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         grid=grid,
         in_specs=[pl.BlockSpec((1, tile_rows, w),
                                lambda i, j: (i, j, 0),
@@ -51,6 +53,7 @@ def threshold_binarize(logits: jnp.ndarray, threshold: int = 128,
                                else pltpu.VMEM),
         interpret=interpret,
     )(logits)
+    return out.astype(jnp.uint8)
 
 
 def threshold_binarize_xla(logits: jnp.ndarray,
