@@ -103,7 +103,8 @@ class Binarizer:
     # ------------------------------------------------------------ inference
 
     def binarize_frames(self, frames: np.ndarray) -> np.ndarray:
-        """uint8 RGB [B, H, W, 3] -> uint8 binary [B, H, W] (ink=255)."""
+        """uint8 RGB [B, H, W, 3] -> uint8 binary [B, H, W] in the raw model
+        polarity (a trained model emits ink=0 on a 255 background)."""
         binary, _, _ = self._binarize_fn(jnp.asarray(frames))
         return np.asarray(jax.device_get(binary))
 
@@ -112,8 +113,9 @@ class Binarizer:
         """Run the full stage over a frame source.
 
         Returns (frame_times, frame_indices, binary_frames) where
-        binary_frames is a list of uint8 [H, W] arrays; when ``invert`` the
-        frames match the reference stage-01 artifact polarity (ink=0).
+        binary_frames is a list of uint8 [H, W] arrays; with ``invert`` the
+        frames match the reference stage-01 artifact polarity (ink=255,
+        ready for CC labeling).
         """
         from ..models.fcn_lecturenet import unpack_bits_host
 
