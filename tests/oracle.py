@@ -72,6 +72,51 @@ def ensure_oracle():
     _ready = True
 
 
+def stub_torchvision():
+    """Minimal torchvision.transforms.functional stand-in — the image lacks
+    torchvision, and the reference model file only touches to_tensor /
+    normalize at inference (FCN_lecturenet.py:607-618)."""
+    import sys
+    import types
+
+    import numpy as np
+    import torch
+
+    if "torchvision" in sys.modules:
+        return
+
+    functional = types.ModuleType("torchvision.transforms.functional")
+
+    def to_tensor(pil_image):
+        arr = np.asarray(pil_image, dtype=np.float32) / 255.0
+        return torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+    def normalize(tensor, mean, std):
+        mean_t = torch.tensor(mean).view(-1, 1, 1)
+        std_t = torch.tensor(std).view(-1, 1, 1)
+        return (tensor - mean_t) / std_t
+
+    functional.to_tensor = to_tensor
+    functional.normalize = normalize
+
+    transforms = types.ModuleType("torchvision.transforms")
+    transforms.functional = functional
+    torchvision = types.ModuleType("torchvision")
+    torchvision.transforms = transforms
+
+    sys.modules["torchvision"] = torchvision
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = functional
+
+
+def oracle_lecturenet_class():
+    """The reference torch FCN_LectureNet class, importable."""
+    ensure_oracle()
+    stub_torchvision()
+    from AccessMath.lecturenet_v1.FCN_lecturenet import FCN_LectureNet
+    return FCN_LectureNet
+
+
 def oracle_estimator(width, height, min_recall, min_precision, max_gap):
     ensure_oracle()
     from AccessMath.preprocessing.content.cc_stability_estimator import \
