@@ -132,25 +132,164 @@ def check_equivalent_cc(cc1: CC, cc2: CC, global_align: AlignInfo,
                         min_precision: float) -> bool:
     """Whether two CCs match under the global alignment plus a small local
     displacement search (reference: check_equivalent_cc, evaluator.py:20-56).
+
+    Instead of re-slicing masks per displacement ((2w+1)^2 scans), all local
+    match counts come from one full cross-correlation of the two masks,
+    sampled at the window offsets. Tie-break matches the reference exactly:
+    it sorts candidates by f-score ONLY with a stable sort, so equal f-scores
+    resolve to the first candidate in scan order (dy-major, dx-minor) —
+    which is ``np.argmax``'s row-major first-maximum.
     """
-    best = None
+    gdy, gdx = int(global_align[3]), int(global_align[4])
+    loc = np.arange(-window, window + 1)
+
+    # strict-inequality box gate per displacement (reference :31-33)
+    x_ok = ((cc1.min_x + gdx + loc) < cc2.max_x) & \
+           (cc2.min_x < (cc1.max_x + gdx + loc))
+    y_ok = ((cc1.min_y + gdy + loc) < cc2.max_y) & \
+           (cc2.min_y < (cc1.max_y + gdy + loc))
+    gate = y_ok[:, None] & x_ok[None, :]
+    if not gate.any():
+        return False
+
+    matched = _mask_correlation_at(
+        cc1.img, cc2.img,
+        base_dy=cc1.min_y + gdy - cc2.min_y,
+        base_dx=cc1.min_x + gdx - cc2.min_x, window=window)
+
+    recall = matched / float(cc1.size)
+    precision = matched / float(cc2.size)
+    denom = recall + precision
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fscore = np.where(denom > 0, 2.0 * recall * precision / denom, 0.0)
+    fscore = np.where(gate, fscore, -1.0)  # ungated never selected
+
+    best = np.unravel_index(int(np.argmax(fscore)), fscore.shape)
+    return bool(recall[best] >= min_recall and precision[best] >= min_precision)
+
+
+def _mask_correlation_at(img1: np.ndarray, img2: np.ndarray, base_dy: int,
+                         base_dx: int, window: int) -> np.ndarray:
+    """matched[wy, wx] = #foreground pixels shared when img1's origin sits at
+    (base_dy + wy - window, base_dx + wx - window) in img2's coordinates.
+
+    One valid-mode correlation of img1 against a window-extended crop of
+    img2 yields exactly the (2w+1)^2 grid — nothing outside the window is
+    computed. Small masks (the realistic CC case) go through a single
+    tensordot (one BLAS GEMV over all displacements); rare huge masks use
+    raw boolean-AND popcounts per displacement."""
+    m1 = img1 > 0
+    h1, w1 = m1.shape
+    h2, w2 = img2.shape
+
+    # region[r, c] = img2[r + base_dy - window, c + base_dx - window] (0 OOB)
+    rh, rw = h1 + 2 * window, w1 + 2 * window
+    y0 = base_dy - window
+    x0 = base_dx - window
+    region = np.zeros((rh, rw), bool)
+    sy0, sy1 = max(0, y0), min(h2, y0 + rh)
+    sx0, sx1 = max(0, x0), min(w2, x0 + rw)
+    if sy0 < sy1 and sx0 < sx1:
+        region[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = \
+            img2[sy0:sy1, sx0:sx1] > 0
+
+    span = 2 * window + 1
+    if m1.size <= 32768:
+        windows = np.lib.stride_tricks.sliding_window_view(region, (h1, w1))
+        corr = np.tensordot(windows.astype(np.float32),
+                            m1.astype(np.float32), axes=([2, 3], [0, 1]))
+        return np.rint(corr).astype(np.int64)
+
+    out = np.empty((span, span), dtype=np.int64)
+    for wy in range(span):
+        for wx in range(span):
+            out[wy, wx] = np.count_nonzero(region[wy:wy + h1, wx:wx + w1]
+                                           & m1)
+    return out
+
+
+def check_equivalent_cc_scan(cc1: CC, cc2: CC, global_align: AlignInfo,
+                             window: int, min_recall: float,
+                             min_precision: float) -> bool:
+    """Direct (2w+1)^2 displacement scan — reference semantics verbatim
+    (evaluator.py:20-56); kept as the parity/timing oracle for the
+    correlation path."""
+    best_fscore = None
+    best_rp = (0.0, 0.0)
     for loc_dy in range(-window, window + 1):
         for loc_dx in range(-window, window + 1):
             dy = global_align[3] + loc_dy
             dx = global_align[4] + loc_dx
             shifted = CC(cc1.cc_id, cc1.min_x + dx, cc1.max_x + dx,
                          cc1.min_y + dy, cc1.max_y + dy, cc1.size, cc1.img)
-            # strict-inequality box gate mirrors the reference (:32-33)
             if (shifted.min_x < cc2.max_x and cc2.min_x < shifted.max_x and
                     shifted.min_y < cc2.max_y and cc2.min_y < shifted.max_y):
                 recall, precision = shifted.overlap_recall_precision(cc2)
                 fscore = (2.0 * recall * precision / (recall + precision)
                           if recall + precision > 0 else 0.0)
-                # lexicographic max over the full tuple matches the
-                # reference's descending sort tie-breaking (:51-53)
-                candidate = (fscore, recall, precision, loc_dx, loc_dy)
-                if best is None or candidate > best:
-                    best = candidate
-    if best is None:
+                # stable sort by fscore only: first-in-scan-order wins ties
+                if best_fscore is None or fscore > best_fscore:
+                    best_fscore = fscore
+                    best_rp = (recall, precision)
+    if best_fscore is None:
         return False
-    return best[1] >= min_recall and best[2] >= min_precision
+    return best_rp[0] >= min_recall and best_rp[1] >= min_precision
+
+
+def build_unique_cc_groups(keyframes, local_window: int, min_recall: float,
+                           min_precision: float,
+                           chain_window: int = 10,
+                           min_chain_fscore: float = 0.3):
+    """Construct GT unique-CC groups from a keyframe chain (reference:
+    keyframes_unique_cc, evaluator.py:58-146): CCs of consecutive keyframes
+    chain into a group when equivalent under the pairwise alignment; a group
+    retires as soon as one keyframe has no match for it.
+
+    Returns (unique_groups, cc_groups) where cc_groups[kf_idx][cc_str_id]
+    maps each keyframe CC to its group. Together with
+    eval.annotation.UniqueCCGroup.groups_to_xml this produces a fresh
+    unique_ccs.xml tree from scratch (GT-producing tooling).
+    """
+    from .annotation import UniqueCCGroup, cc_str_id
+
+    for keyframe in keyframes:
+        if keyframe.binary_cc is None:
+            keyframe.update_binary_cc()
+
+    alignments = keyframe_chain_alignments(keyframes, chain_window,
+                                           min_chain_fscore)
+
+    unique_groups = []
+    cc_groups = [{cc_str_id(cc): None for cc in kf.binary_cc}
+                 for kf in keyframes]
+
+    active = []
+    for cc in keyframes[0].binary_cc:
+        group = UniqueCCGroup(cc, 0)
+        unique_groups.append(group)
+        cc_groups[0][cc_str_id(cc)] = group
+        active.append(group)
+
+    for kf_idx in range(1, len(keyframes)):
+        align = alignments[kf_idx - 1]
+        not_yet_found = list(active)
+        active = []
+        for kf_cc in keyframes[kf_idx].binary_cc:
+            found = False
+            for nyf_idx, group in enumerate(not_yet_found):
+                if check_equivalent_cc(kf_cc, group.cc_refs[-1], align,
+                                       local_window, min_recall,
+                                       min_precision):
+                    active.append(group)
+                    group.cc_refs.append(kf_cc)
+                    cc_groups[kf_idx][cc_str_id(kf_cc)] = group
+                    del not_yet_found[nyf_idx]
+                    found = True
+                    break
+            if not found:
+                group = UniqueCCGroup(kf_cc, kf_idx)
+                unique_groups.append(group)
+                cc_groups[kf_idx][cc_str_id(kf_cc)] = group
+                active.append(group)
+
+    return unique_groups, cc_groups
