@@ -54,16 +54,34 @@ def stage02_cc_analysis(driver: PipelineDriver, lecture: LectureInfo,
 
     Set CC_ANALYSIS_DEVICE_LABELING=1 to run CC labeling itself on device
     (ops/cc_label.py min-propagation kernel, batched); labeling otherwise
-    uses the fused native C++ pass. Both produce identical components."""
+    uses the fused native C++ pass. Both produce identical components.
+
+    Set CC_ANALYSIS_SHARDS=N (or pass ``-cc_shards N``) to shard the frame
+    axis and track shard-locally with an associative cross-shard merge
+    (pipeline/cc_sharded.py — bit-identical to sequential tracking);
+    CC_ANALYSIS_WORKERS>1 runs shards on worker processes."""
     frame_times, frame_indices, compressed = inputs
     binaries = decompress_png(compressed)
 
     config = driver.config
+    min_recall = config.get_float("CC_STABILITY_MIN_RECALL", 0.925)
+    min_precision = config.get_float("CC_STABILITY_MIN_PRECISION", 0.925)
+    max_gap = config.get_int("CC_STABILITY_MAX_GAP", 85)
+
+    n_shards = int(driver.params.get(
+        "cc_shards", config.get_int("CC_ANALYSIS_SHARDS", 0)))
+    if n_shards > 1 and not config.get_bool("CC_ANALYSIS_DEVICE_LABELING",
+                                            False):
+        from .cc_sharded import track_sharded
+
+        tracker = track_sharded(
+            binaries, min_recall, min_precision, max_gap, n_shards=n_shards,
+            n_workers=config.get_int("CC_ANALYSIS_WORKERS", 0))
+        return frame_times, frame_indices, tracker
+
     tracker = CCTracker(
         width=binaries[0].shape[1], height=binaries[0].shape[0],
-        min_recall=config.get_float("CC_STABILITY_MIN_RECALL", 0.925),
-        min_precision=config.get_float("CC_STABILITY_MIN_PRECISION", 0.925),
-        max_gap=config.get_int("CC_STABILITY_MAX_GAP", 85))
+        min_recall=min_recall, min_precision=min_precision, max_gap=max_gap)
 
     if config.get_bool("CC_ANALYSIS_DEVICE_LABELING", False):
         from ..data.cc import extract_ccs

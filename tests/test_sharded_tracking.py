@@ -1,0 +1,146 @@
+"""Shard-count invariance of the frame-axis-sharded CC tracker: 1 == 2 == 4
+== 8 shards, left fold == tree reduction, in-process == worker processes —
+all bit-identical to the sequential CCTracker (whose own parity vs the
+reference CCStabilityEstimator is proven in test_tracking_parity.py)."""
+
+import numpy as np
+import pytest
+
+from lecturemath_tpu.pipeline.cc_sharded import (merge_trackers,
+                                                 track_sharded)
+from lecturemath_tpu.pipeline.cc_tracking import CCTracker
+from lecturemath_tpu.utils.synthetic import synthetic_lecture
+
+
+def assert_trackers_equal(a: CCTracker, b: CCTracker):
+    assert a.img_idx == b.img_idx
+    assert len(a.unique_ccs) == len(b.unique_ccs)
+    for cc_a, cc_b in zip(a.unique_ccs, b.unique_ccs):
+        assert (cc_a.min_x, cc_a.max_x, cc_a.min_y, cc_a.max_y, cc_a.size) \
+            == (cc_b.min_x, cc_b.max_x, cc_b.min_y, cc_b.max_y, cc_b.size)
+        np.testing.assert_array_equal(cc_a.img, cc_b.img)
+    assert a.unique_cc_frames == b.unique_cc_frames
+    assert [[u for u, _ in frame] for frame in a.cc_idx_per_frame] == \
+        [[u for u, _ in frame] for frame in b.cc_idx_per_frame]
+
+
+def _sequential(frames, min_r, min_p, max_gap):
+    tracker = CCTracker(frames[0].shape[1], frames[0].shape[0],
+                        min_r, min_p, max_gap)
+    for frame in frames:
+        tracker.add_frame(frame)
+    return tracker
+
+
+def _downstream_groups(tracker: CCTracker, max_gap: int):
+    tracker.split_stable_by_gaps(max_gap, 3)
+    stable = tracker.stable_cc_idxs(3)
+    time_ov, _, all_ov = tracker.compute_overlapping_stable(stable, 5)
+    groups, group_of = tracker.compute_groups(stable, time_ov, 0.0)
+    return stable, groups, group_of
+
+
+# erased content (actives retire -> fast adopt path) and persistent content
+# (actives live across every shard boundary -> exact re-match path)
+CASES = [
+    dict(seed=0, n_frames=48, max_gap=6, jitter=0.03),   # retiring actives
+    dict(seed=1, n_frames=48, max_gap=85, jitter=0.0),   # static board
+    dict(seed=2, n_frames=40, max_gap=10, jitter=0.06),  # noisy/jittery
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_shard_count_invariance(case):
+    frames, _, _ = synthetic_lecture(
+        seed=case["seed"], n_frames=case["n_frames"], height=96, width=128,
+        n_boards=2, glyphs_per_board=5, jitter=case["jitter"])
+    min_r = min_p = 0.85
+    max_gap = case["max_gap"]
+
+    reference = _sequential(frames, min_r, min_p, max_gap)
+    ref_down = _downstream_groups(reference, max_gap)
+
+    for n_shards in (2, 4, 8):
+        sharded = track_sharded(frames, min_r, min_p, max_gap,
+                                n_shards=n_shards)
+        assert_trackers_equal(reference, sharded)
+        assert _downstream_groups(sharded, max_gap) == ref_down
+
+
+def test_tree_reduction_matches_fold():
+    frames, _, _ = synthetic_lecture(seed=3, n_frames=48, height=96,
+                                     width=128, n_boards=2,
+                                     glyphs_per_board=5, jitter=0.03)
+    fold = track_sharded(frames, 0.85, 0.85, 8, n_shards=8)
+    tree = track_sharded(frames, 0.85, 0.85, 8, n_shards=8, tree_reduce=True)
+    assert_trackers_equal(fold, tree)
+
+
+def test_merge_is_associative():
+    """(A + B) + C == A + (B + C) == sequential."""
+    from lecturemath_tpu.data.cc import extract_ccs
+    from lecturemath_tpu.pipeline.cc_sharded import track_shard
+
+    frames, _, _ = synthetic_lecture(seed=4, n_frames=36, height=96,
+                                     width=128, n_boards=2,
+                                     glyphs_per_board=5, jitter=0.03)
+    args = (128, 96, 0.85, 0.85, 7)
+
+    def shard(lo, hi):
+        return track_shard([extract_ccs(f) for f in frames[lo:hi]], *args)
+
+    left_assoc = merge_trackers(merge_trackers(shard(0, 12), shard(12, 24)),
+                                shard(24, 36))
+    right_assoc = merge_trackers(shard(0, 12),
+                                 merge_trackers(shard(12, 24), shard(24, 36)))
+    sequential = _sequential(frames, 0.85, 0.85, 7)
+
+    assert_trackers_equal(sequential, left_assoc)
+    assert_trackers_equal(sequential, right_assoc)
+
+
+def test_stage02_cli_surface(tmp_path):
+    """-cc_shards N on the stage-02 surface produces the identical tracker
+    artifact (user-facing wiring of the sharded path)."""
+    from test_e2e_pipeline import DB_XML
+    from lecturemath_tpu.pipeline.driver import PipelineDriver
+    from lecturemath_tpu.pipeline.stages import stage02_cc_analysis
+    from lecturemath_tpu.pipeline.video import compress_png
+
+    (tmp_path / "db.xml").write_text(DB_XML)
+    (tmp_path / "test.conf").write_text("\n".join([
+        f"VIDEO_DATABASE_PATH = {tmp_path}/db.xml",
+        f"OUTPUT_PATH = {tmp_path}/output",
+        "BINARIZATION_OUTPUT = tempo_binary_",
+        "CC_STABILITY_OUTPUT = tempo_stability_",
+        "CC_STABILITY_MIN_RECALL = 0.85",
+        "CC_STABILITY_MIN_PRECISION = 0.85",
+        "CC_STABILITY_MAX_GAP = 10",
+    ]))
+    frames, _, _ = synthetic_lecture(seed=6, n_frames=24, height=96,
+                                     width=128, n_boards=2,
+                                     glyphs_per_board=5, jitter=0.02)
+    times = [1000.0 * t for t in range(len(frames))]
+    indices = [30 * t for t in range(len(frames))]
+
+    def run(argv):
+        driver = PipelineDriver.from_config_path(
+            str(tmp_path / "test.conf"), list(argv), "BINARIZATION_OUTPUT",
+            "CC_STABILITY_OUTPUT")
+        driver.store.save((times, indices, compress_png(list(frames))),
+                          "tempo_binary_", "synth01")
+        driver.run(stage02_cc_analysis)
+        return driver.store.load("tempo_stability_", "synth01")[2]
+
+    sequential = run([])
+    sharded = run(["-cc_shards", "4"])
+    assert_trackers_equal(sequential, sharded)
+
+
+def test_worker_process_path():
+    frames, _, _ = synthetic_lecture(seed=5, n_frames=24, height=96,
+                                     width=128, n_boards=1,
+                                     glyphs_per_board=5, jitter=0.03)
+    sequential = _sequential(frames, 0.85, 0.85, 6)
+    pooled = track_sharded(frames, 0.85, 0.85, 6, n_shards=4, n_workers=2)
+    assert_trackers_equal(sequential, pooled)
