@@ -1,7 +1,10 @@
 """Stage 01 CLI — batched TPU binarization of lecture videos.
 
-Usage: python -m lecturemath_tpu.cli.binarize <config> [-l lecture] [-d dataset]
-(reference equivalent: pre_ST3D_v3.0_01_binarize.py)
+Usage: python -m lecturemath_tpu.cli.binarize <config> [-l lecture]
+[-d dataset] [-mesh DxM]
+(reference equivalent: pre_ST3D_v3.0_01_binarize.py; the reference was
+single-GPU batch-1, pre_ST3D_v3.0_01_binarize.py:31-37 — ``-mesh`` / the
+TPU_MESH config key shard the frame axis across chips instead.)
 """
 
 import sys
@@ -11,6 +14,15 @@ from ..pipeline.driver import PipelineDriver, usage_check
 from ..pipeline.stages import stage01_binarize
 
 
+def resolve_mesh(params, config):
+    """Build the device mesh a CLI run asked for (-mesh / TPU_MESH), or
+    None for the default single-device path."""
+    from ..parallel.mesh import make_mesh, mesh_spec_from
+
+    spec = mesh_spec_from(params, config)
+    return make_mesh(spec) if spec is not None else None
+
+
 def main(argv=None):
     argv = sys.argv if argv is None else argv
     if not usage_check(argv):
@@ -18,7 +30,8 @@ def main(argv=None):
 
     driver = PipelineDriver.from_config_path(argv[1], argv[2:], None,
                                              "BINARIZATION_OUTPUT")
-    binarizer = Binarizer.from_config(driver.config)
+    binarizer = Binarizer.from_config(
+        driver.config, mesh=resolve_mesh(driver.params, driver.config))
     driver.run(lambda d, lecture, inputs:
                stage01_binarize(d, lecture, inputs, binarizer))
     print("Finished")

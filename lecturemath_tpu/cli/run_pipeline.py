@@ -2,7 +2,7 @@
 inter-stage PNG pickle relay.
 
 Usage: python -m lecturemath_tpu.cli.run_pipeline <config> [-l lecture]
-[-d dataset] [-shard i/n] [-save 1]
+[-d dataset] [-shard i/n] [-save 1] [-mesh DxM]
 """
 
 import sys
@@ -10,6 +10,7 @@ import sys
 from ..pipeline.binarize import Binarizer
 from ..pipeline.driver import PipelineDriver, usage_check
 from ..pipeline.express import run_lecture
+from .binarize import resolve_mesh
 
 
 def main(argv=None):
@@ -18,7 +19,8 @@ def main(argv=None):
         return
 
     driver = PipelineDriver.from_config_path(argv[1], argv[2:], None, None)
-    binarizer = Binarizer.from_config(driver.config)
+    binarizer = Binarizer.from_config(
+        driver.config, mesh=resolve_mesh(driver.params, driver.config))
     save_artifacts = str(driver.params.get("save", "0")) == "1"
 
     for lecture in driver.iter_lectures():

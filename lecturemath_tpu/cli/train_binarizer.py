@@ -1,14 +1,17 @@
 """Final phase: train the binarizer on annotated keyframe/binary-GT pairs.
 
-Usage: python -m lecturemath_tpu.cli.train_binarizer <config>
-(reference equivalent: lecturenet_train_02_train_binarizer.py)
+Usage: python -m lecturemath_tpu.cli.train_binarizer <config> [dataset]
+[-mesh DxM]
+(reference equivalent: lecturenet_train_02_train_binarizer.py;
+-mesh / TPU_MESH train dp x tp sharded over a device mesh)
 """
 
 import os
 import sys
 
-from ..core.config import Config
+from ..core.config import Config, parse_cli_overrides
 from ..core.metadata import MetaDataDB
+from ..parallel.mesh import mesh_spec_from
 from ..train.dataset import LectureNetDataset
 from ..train.trainer import run_phase
 
@@ -42,7 +45,8 @@ def main(argv=None):
         return
 
     config = Config.from_file(argv[1])
-    dataset_name = argv[2] if len(argv) > 2 else "training"
+    dataset_name = (argv[2] if len(argv) > 2
+                    and not argv[2].startswith("-") else "training")
     database = MetaDataDB.from_file(config.get_str("VIDEO_DATABASE_PATH"))
     output_root = config.get_str("OUTPUT_PATH")
 
@@ -64,7 +68,9 @@ def main(argv=None):
             "FCN_BINARIZER_TRAIN_FROM_RECONSTRUCTION_PRETRAIN", False)
 
     out = run_phase(config, "binarizer", dataset, warm_start_path=warm_start,
-                    warm_start_is_reconstruction=from_reconstruction)
+                    warm_start_is_reconstruction=from_reconstruction,
+                    mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
+                                             config))
     print(f"Saved: {out}")
 
 

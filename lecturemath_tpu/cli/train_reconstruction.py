@@ -1,12 +1,14 @@
 """Med-PT: pretrain the reconstruction branch against median-blurred targets.
 
-Usage: python -m lecturemath_tpu.cli.train_reconstruction <config>
-(reference equivalent: lecturenet_train_00_pretrain_reconstruction.py)
+Usage: python -m lecturemath_tpu.cli.train_reconstruction <config> [-mesh DxM]
+(reference equivalent: lecturenet_train_00_pretrain_reconstruction.py;
+-mesh / TPU_MESH train dp x tp sharded over a device mesh)
 """
 
 import sys
 
-from ..core.config import Config
+from ..core.config import Config, parse_cli_overrides
+from ..parallel.mesh import mesh_spec_from
 from ..train.dataset import LectureNetDataset, find_images
 from ..train.trainer import run_phase
 
@@ -28,7 +30,9 @@ def main(argv=None):
     if config.get_bool("FCN_BINARIZER_PRETRAIN_PRELOAD_IMAGES", False):
         dataset.preload(verbose=True)
 
-    out = run_phase(config, "reconstruction", dataset)
+    out = run_phase(config, "reconstruction", dataset,
+                    mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
+                                             config))
     print(f"Saved: {out}")
 
 

@@ -1,13 +1,15 @@
 """TD-PT: pretrain all three branches on text-detection data.
 
-Usage: python -m lecturemath_tpu.cli.train_text_detector <config>
-(reference equivalent: lecturenet_train_01_pretrain_text_detector.py)
+Usage: python -m lecturemath_tpu.cli.train_text_detector <config> [-mesh DxM]
+(reference equivalent: lecturenet_train_01_pretrain_text_detector.py;
+-mesh / TPU_MESH train dp x tp sharded over a device mesh)
 """
 
 import os
 import sys
 
-from ..core.config import Config
+from ..core.config import Config, parse_cli_overrides
+from ..parallel.mesh import mesh_spec_from
 from ..train.dataset import LectureNetDataset, find_image_mask_pairs
 from ..train.trainer import run_phase
 
@@ -40,7 +42,9 @@ def main(argv=None):
 
     out = run_phase(config, "text_detector", dataset,
                     warm_start_path=warm_start,
-                    warm_start_is_reconstruction=True)
+                    warm_start_is_reconstruction=True,
+                    mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
+                                             config))
     print(f"Saved: {out}")
 
 

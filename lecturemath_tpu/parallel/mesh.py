@@ -38,6 +38,32 @@ class MeshSpec:
         return MeshSpec(data, model)
 
 
+def parse_mesh_arg(text) -> MeshSpec:
+    """Parse a user-facing mesh request: 'D', 'DxM', or 'auto' (all devices
+    on the data axis). Used by the -mesh CLI flag and the TPU_MESH config
+    key."""
+    text = str(text).strip().lower()
+    if text in ("auto", "all", "-1"):
+        return MeshSpec()
+    parts = text.split("x")
+    data = int(parts[0])
+    model = int(parts[1]) if len(parts) > 1 else 1
+    return MeshSpec(data=data, model=model)
+
+
+def mesh_spec_from(params=None, config=None) -> Optional[MeshSpec]:
+    """Resolve a mesh request from CLI params ('-mesh DxM', wins) or the
+    TPU_MESH config key; None when neither asks for a mesh."""
+    value = None
+    if params:
+        value = params.get("mesh")
+    if value is None and config is not None:
+        value = config.get("TPU_MESH", None)
+    if value in (None, "", 0, "0", "none", "1", 1):
+        return None
+    return parse_mesh_arg(value)
+
+
 def make_mesh(spec: MeshSpec = MeshSpec(), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     spec = spec.resolve(len(devices))

@@ -49,8 +49,30 @@ class Binarizer:
 
     def __init__(self, model: FCNLectureNet, variables,
                  batch_size: Optional[int] = None, force_binary: bool = True,
-                 threshold: int = 128, pipeline_depth: int = 2):
+                 threshold: int = 128, pipeline_depth: int = 2, mesh=None):
+        """``mesh`` (jax.sharding.Mesh with 'data'/'model' axes) shards the
+        frame axis across chips — params replicate (or channel-shard over
+        'model' when that axis is >1) and GSPMD inserts the collectives.
+        Single-mesh and no-mesh runs produce identical frames."""
         self.model = model
+        self.mesh = mesh
+        self._input_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import replicate, shard_params
+
+            if mesh.shape.get("model", 1) > 1:
+                params = shard_params(mesh, variables["params"])
+            else:
+                params = replicate(mesh, variables["params"])
+            variables = {"params": params,
+                         "batch_stats": replicate(mesh,
+                                                  variables["batch_stats"])}
+            self._input_sharding = NamedSharding(mesh, P("data"))
+            data_size = mesh.shape["data"]
+            if batch_size is not None:
+                batch_size = -(-batch_size // data_size) * data_size
         self.variables = variables
         self.batch_size = batch_size
         self.force_binary = force_binary
@@ -102,10 +124,15 @@ class Binarizer:
 
     # ------------------------------------------------------------ inference
 
+    def _to_device(self, frames):
+        if self._input_sharding is None:
+            return jnp.asarray(frames)
+        return jax.device_put(np.asarray(frames), self._input_sharding)
+
     def binarize_frames(self, frames: np.ndarray) -> np.ndarray:
         """uint8 RGB [B, H, W, 3] -> uint8 binary [B, H, W] in the raw model
         polarity (a trained model emits ink=0 on a 255 background)."""
-        binary, _, _ = self._binarize_fn(jnp.asarray(frames))
+        binary, _, _ = self._binarize_fn(self._to_device(frames))
         return np.asarray(jax.device_get(binary))
 
     def process_source(self, source: VideoFrameSource, frames_limit: int = 0,
@@ -157,9 +184,9 @@ class Binarizer:
                 frames = _downscale_batch(frames, model_size)
 
             if use_packed:
-                device_binary = self._packed_fn(jnp.asarray(frames))
+                device_binary = self._packed_fn(self._to_device(frames))
             else:
-                device_binary, _, _ = self._binarize_fn(jnp.asarray(frames))
+                device_binary, _, _ = self._binarize_fn(self._to_device(frames))
             pending.append((device_binary, batch))
             if len(pending) > self.pipeline_depth:
                 drain(pending.pop(0))
@@ -181,6 +208,9 @@ class Binarizer:
             h, w = first[2].shape[:2]
             mw, mh = resolve_model_size(w, h)
             batch_size = default_batch_size(mw, mh)
+            if self.mesh is not None:
+                data_size = self.mesh.shape["data"]
+                batch_size = -(-batch_size // data_size) * data_size
             self.batch_size = batch_size
 
             import itertools

@@ -47,6 +47,52 @@ def test_param_pspec_tree():
     assert specs["odd"]["kernel"] == jax.sharding.PartitionSpec()
 
 
+def test_mesh_arg_parsing():
+    from lecturemath_tpu.parallel.mesh import mesh_spec_from, parse_mesh_arg
+
+    assert parse_mesh_arg("4x2") == MeshSpec(4, 2)
+    assert parse_mesh_arg("8") == MeshSpec(8, 1)
+    assert parse_mesh_arg("auto") == MeshSpec()
+
+    assert mesh_spec_from({"mesh": "4x2"}, None) == MeshSpec(4, 2)
+    assert mesh_spec_from({}, None) is None
+    assert mesh_spec_from(None, None) is None
+
+    class FakeConfig:
+        def get(self, key, default=None):
+            return {"TPU_MESH": "8x1"}.get(key, default)
+
+    assert mesh_spec_from({}, FakeConfig()) == MeshSpec(8, 1)
+    assert mesh_spec_from({"mesh": "2x4"}, FakeConfig()) == MeshSpec(2, 4)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_binarizer_mesh_parity(mesh_shape):
+    """The production Binarizer with a mesh (the -mesh CLI path) produces
+    the same frames as the single-device path, for both dp-only and dp x tp
+    layouts, through the packed streaming pipeline."""
+    from lecturemath_tpu.pipeline.binarize import Binarizer
+    from lecturemath_tpu.pipeline.video import ArraySource
+
+    model = FCNLectureNet(SHARDY)
+    variables = init_variables(model, jax.random.PRNGKey(0), (1, 32, 32, 3))
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (11, 32, 64, 3), np.uint8)  # ragged tail
+
+    plain = Binarizer(model, variables, batch_size=4)
+    _, _, expected = plain.process_source(ArraySource(frames, fps=1.0))
+
+    mesh = make_mesh(MeshSpec(*mesh_shape))
+    meshed = Binarizer(model, variables, batch_size=4, mesh=mesh)
+    assert meshed.batch_size % mesh.shape["data"] == 0
+    times, indices, got = meshed.process_source(ArraySource(frames, fps=1.0))
+
+    assert len(got) == len(expected) == 11
+    for a, b in zip(expected, got):
+        np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.parametrize("shard_model", [False, True])
 def test_sharded_binarizer(shard_model):
     mesh = make_mesh(MeshSpec(data=4, model=2))
