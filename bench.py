@@ -1,24 +1,29 @@
 """Benchmark: frames/sec/chip for the binarize -> CC -> summary pipeline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with a
+per-stage breakdown, device-only forward fps, and computed MFU.
 
-Workload: a synthetic 960x540 lecture (no released weights or videos ship
-with the reference, so both sides run the production-width model with random
-weights on procedurally generated frames — identical compute shape to the
-real workload).
-
-Ours: batched bf16 FCN forward on the TPU + host CC tracking/grouping/
-segmentation/keyframes (the full stage 01-05 compute, artifacts in memory).
+Workload: a synthetic 960x540 lecture, 128 frames, 3 boards x 40 glyphs
+(no released weights or videos ship with the reference). The model runs the
+FULL production compute shape (widths 48..768) with heads surgically set so
+the binarization logit is a deterministic luminance threshold
+(utils.synthetic.threshold_binarizer_variables) — so stages 02-05 process
+the model's OWN stage-01 output with a realistic CC workload, not a synthetic
+shortcut. The timed region is the express-style fused run: streaming device
+binarization with host CC tracking consuming drained batches, then grouping,
+segmentation (deletion events), and keyframe extraction. Median of RUNS
+repeats.
 
 Baseline: the reference's own per-frame torch pipeline (FCN_LectureNet
-.binarize batch-1 on CPU, reference FCN_lecturenet.py:430-505), measured
-once and cached in BASELINE_MEASURED.json. Only the stage-01 forward is
-timed for the reference (its stages 02-05 only add more time, so the
-reported speedup is a lower bound).
+.binarize batch-1 on CPU, reference FCN_lecturenet.py:430-505) over >= 10
+frames, measured once and cached in BASELINE_MEASURED.json. Only the
+stage-01 forward is timed for the reference (its stages 02-05 only add more
+time, so the reported speedup is a lower bound).
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -36,55 +41,69 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 
 BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
-FRAMES = 48
+FRAMES = 128
 WIDTH, HEIGHT = 960, 540
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+RUNS = 3
+BASELINE_FRAMES = 10
+
+# peak dense bf16 TFLOP/s per chip by device kind substring
+PEAK_BF16 = (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12),
+             ("v4", 275e12), ("v3", 123e12), ("v2", 45e12))
 
 
-def measure_ours():
-    import jax
+def build_workload():
+    import jax.numpy as jnp
+
+    from lecturemath_tpu.models.fcn_lecturenet import FCNConfig, FCNLectureNet
+    from lecturemath_tpu.pipeline.binarize import Binarizer
+    from lecturemath_tpu.utils.synthetic import (synthetic_rgb_lecture,
+                                                 threshold_binarizer_variables)
+
+    net_config = FCNConfig()  # production widths 48..768
+    model = FCNLectureNet(net_config, dtype=jnp.bfloat16)
+    variables = threshold_binarizer_variables(net_config)
+    binarizer = Binarizer(model, variables, batch_size=BATCH)
+
+    rgb, clean, _, _ = synthetic_rgb_lecture(
+        seed=0, n_frames=FRAMES, height=HEIGHT, width=WIDTH, n_boards=3,
+        glyphs_per_board=40, glyph_size=(40, 60))
+    return binarizer, rgb, clean
+
+
+def run_pipeline(binarizer, rgb):
+    """One express-style fused run (stages 01-05). Returns (elapsed seconds,
+    breakdown dict, results dict)."""
     import numpy as np
 
-    from lecturemath_tpu.models.fcn_lecturenet import (FCNConfig,
-                                                       FCNLectureNet,
-                                                       init_variables)
-    from lecturemath_tpu.pipeline.binarize import Binarizer
-    from lecturemath_tpu.pipeline.cc_tracking import CCTracker
-    from lecturemath_tpu.pipeline import segmentation as seg
-    from lecturemath_tpu.pipeline.keyframes import extract_keyframes
-    from lecturemath_tpu.pipeline.video import ArraySource, compress_png
     from lecturemath_tpu.data.space_time import SpaceTimeStruct
-    from lecturemath_tpu.utils.synthetic import synthetic_rgb_lecture
+    from lecturemath_tpu.pipeline import segmentation as seg
+    from lecturemath_tpu.pipeline.cc_tracking import CCTracker
+    from lecturemath_tpu.pipeline.keyframes import extract_keyframes
+    from lecturemath_tpu.pipeline.video import ArraySource
 
-    config = FCNConfig()  # production widths 48..768
-    import jax.numpy as jnp
+    pc = time.perf_counter
+    start = pc()
 
-    model = FCNLectureNet(config, dtype=jnp.bfloat16)
-    variables = init_variables(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
-
-    rgb, clean_binary, glyphs, erase_times = synthetic_rgb_lecture(
-        seed=0, n_frames=FRAMES, height=HEIGHT, width=WIDTH, n_boards=2,
-        glyphs_per_board=8, glyph_size=(40, 60))
-
-    import jax.numpy as jnp
-
-    binarizer = Binarizer(model, variables, batch_size=8)
-
-    # warmup: compile the packed streaming forward once (the only device
-    # computation the pipeline uses)
-    jax.block_until_ready(
-        binarizer._packed_fn(jnp.asarray(rgb[:binarizer.batch_size])))
-
-    start = time.perf_counter()
-
-    source = ArraySource(rgb, fps=1.0)
-    times, indices, binaries = binarizer.process_source(source)
-    compressed = compress_png(binaries)  # stage-01 artifact cost
-
-    # stages 02-05 run on the known-clean synthetic binaries so CC counts
-    # reflect the real workload (random weights binarize to noise)
+    # stages 01+02 fused: host tracking consumes drained batches while the
+    # device crunches in-flight batches (pipeline/express.py shape)
     tracker = CCTracker(WIDTH, HEIGHT, 0.925, 0.925, 85)
-    for frame in clean_binary:
-        tracker.add_frame(frame)
+    times, indices = [], []
+    track_s = 0.0
+    sample_binary = None
+    for batch_times, batch_indices, frames in binarizer.stream_source(
+            ArraySource(rgb, fps=1.0)):
+        times.extend(batch_times)
+        indices.extend(batch_indices)
+        if sample_binary is None:
+            sample_binary = frames[0]
+        t0 = pc()
+        for frame in frames:
+            tracker.add_frame(frame)
+        track_s += pc() - t0
+    stage12_s = pc() - start
+
+    t0 = pc()
     tracker.split_stable_by_gaps(85, 3)
     stable = tracker.stable_cc_idxs(3)
     time_ov, _, all_ov = tracker.compute_overlapping_stable(stable, 5)
@@ -92,29 +111,127 @@ def measure_ours():
     ages, per_frame = tracker.compute_group_ages(groups)
     conflicts = tracker.compute_conflicts(stable, all_ov, len(groups), group_of)
     images, bounds = tracker.compute_group_images(groups, ages, 0.5)
+    grouping_s = pc() - t0
 
+    t0 = pc()
     intervals = seg.segments_from_deletion_events(
         ages, bounds, FRAMES, float(WIDTH * HEIGHT), 0.00005, 3, 0.0008)
+    segmentation_s = pc() - t0
 
+    t0 = pc()
     st3d = SpaceTimeStruct(times, indices, HEIGHT, WIDTH, ages, images, bounds)
     keyframes, _ = extract_keyframes(st3d, intervals)
+    keyframes_s = pc() - t0
 
+    elapsed = pc() - start
+    assert len(times) == FRAMES and len(keyframes) >= 2
+    breakdown = {
+        "stage01_binarize_wall_s": round(stage12_s - track_s, 3),
+        "stage02_track_host_s": round(track_s, 3),
+        "stage03_grouping_s": round(grouping_s, 3),
+        "stage04_segmentation_s": round(segmentation_s, 3),
+        "stage05_keyframes_s": round(keyframes_s, 3),
+    }
+    results = {
+        "raw_ccs": tracker.raw_cc_count(),
+        "unique_ccs": len(tracker.unique_ccs),
+        "stable_ccs": len(stable),
+        "groups": len(groups),
+        "keyframes": len(keyframes),
+        "sample_binary": sample_binary,
+    }
+    return elapsed, breakdown, results
+
+
+def measure_device_forward(binarizer, rgb):
+    """Device-only packed forward: dispatch N resident batches, block once.
+    Returns (fps, flops_per_frame or None)."""
+    import jax.numpy as jnp
+
+    batch = jax.device_put(jnp.asarray(rgb[:BATCH]))
+    fn = binarizer._packed_fn
+    jax.block_until_ready(fn(batch))  # warm / compiled
+
+    n_batches = 8
+    start = time.perf_counter()
+    outs = [fn(batch) for _ in range(n_batches)]
+    jax.block_until_ready(outs)
     elapsed = time.perf_counter() - start
-    assert len(binaries) == FRAMES and len(keyframes) >= 1
-    return FRAMES / elapsed
+    fps = n_batches * BATCH / elapsed
+
+    flops_per_frame = None
+    try:
+        cost = fn.lower(batch).compile().cost_analysis()
+        if cost and "flops" in cost:
+            flops_per_frame = float(cost["flops"]) / BATCH
+    except Exception:
+        pass
+    return fps, flops_per_frame
 
 
-def measure_reference_baseline(max_frames=2):
+def peak_bf16_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in PEAK_BF16:
+        if key in kind:
+            return peak, kind
+    return None, kind
+
+
+def measure_ours():
+    import numpy as np
+
+    binarizer, rgb, clean = build_workload()
+
+    # warmup: compile the packed streaming forward (the only device
+    # computation the pipeline uses) and the native/tracking paths
+    import jax.numpy as jnp
+
+    jax.block_until_ready(binarizer._packed_fn(jnp.asarray(rgb[:BATCH])))
+
+    runs = []
+    breakdown = results = None
+    for _ in range(RUNS):
+        elapsed, breakdown, results = run_pipeline(binarizer, rgb)
+        runs.append(FRAMES / elapsed)
+
+    # the threshold-head model must reproduce the clean synthetic binaries
+    # (deterministic workload sanity: stage 02 consumed real model output)
+    mismatch = float(np.mean(results.pop("sample_binary") != clean[0]))
+    assert mismatch < 1e-4, f"model output diverged from oracle: {mismatch}"
+
+    device_fps, flops_per_frame = measure_device_forward(binarizer, rgb)
+    peak, device_kind = peak_bf16_flops()
+    mfu = None
+    if peak and flops_per_frame:
+        mfu = flops_per_frame * device_fps / peak
+
+    n_params = sum(int(np.prod(np.shape(v))) for v in
+                   jax.tree.leaves(binarizer.variables["params"]))
+
+    extras = {
+        "runs_fps": [round(r, 3) for r in runs],
+        "stage01_device_fps": round(device_fps, 3),
+        "model_flops_per_frame": flops_per_frame,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "device": device_kind,
+        "batch_size": binarizer.batch_size,
+        "params_millions": round(n_params / 1e6, 2),
+        "frames": FRAMES,
+        "breakdown": breakdown,
+        **{k: v for k, v in results.items()},
+    }
+    return statistics.median(runs), extras
+
+
+def measure_reference_baseline(max_frames=BASELINE_FRAMES):
     """Per-frame seconds of the reference stage-01 path (torch, CPU,
     batch 1), run from /root/reference via the oracle setup."""
     sys.path.insert(0, os.path.join(REPO, "tests"))
-    from oracle import ensure_oracle
+    from oracle import ensure_oracle, stub_torchvision
     ensure_oracle()
+    stub_torchvision()
 
-    import numpy as np
     from PIL import Image
-
-    _stub_torchvision()  # image lacks torchvision; reference imports it
 
     from AM_CommonTools.configuration.configuration import Configuration
     from AccessMath.lecturenet_v1.FCN_lecturenet import FCN_LectureNet
@@ -141,48 +258,16 @@ def measure_reference_baseline(max_frames=2):
     return 1.0 / per_frame  # fps
 
 
-def _stub_torchvision():
-    """Minimal torchvision.transforms.functional stand-in (to_tensor /
-    normalize are all the reference model file touches at inference)."""
-    import types
-
-    import numpy as np
-    import torch
-
-    if "torchvision" in sys.modules:
-        return
-
-    functional = types.ModuleType("torchvision.transforms.functional")
-
-    def to_tensor(pil_image):
-        arr = np.asarray(pil_image, dtype=np.float32) / 255.0
-        return torch.from_numpy(arr.transpose(2, 0, 1).copy())
-
-    def normalize(tensor, mean, std):
-        mean_t = torch.tensor(mean).view(-1, 1, 1)
-        std_t = torch.tensor(std).view(-1, 1, 1)
-        return (tensor - mean_t) / std_t
-
-    functional.to_tensor = to_tensor
-    functional.normalize = normalize
-
-    transforms = types.ModuleType("torchvision.transforms")
-    transforms.functional = functional
-    torchvision = types.ModuleType("torchvision")
-    torchvision.transforms = transforms
-
-    sys.modules["torchvision"] = torchvision
-    sys.modules["torchvision.transforms"] = transforms
-    sys.modules["torchvision.transforms.functional"] = functional
-
-
 def get_baseline_fps():
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            return json.load(f)["reference_fps"]
+            cached = json.load(f)
+        if cached.get("baseline_frames", 0) >= BASELINE_FRAMES:
+            return cached["reference_fps"]
     fps = measure_reference_baseline()
     with open(BASELINE_FILE, "w") as f:
         json.dump({"reference_fps": fps,
+                   "baseline_frames": BASELINE_FRAMES,
                    "workload": f"{WIDTH}x{HEIGHT} synthetic, stage-01 "
                                f"torch CPU batch-1 (lower bound for full "
                                f"reference pipeline time)"}, f, indent=1)
@@ -191,12 +276,14 @@ def get_baseline_fps():
 
 def main():
     baseline_fps = get_baseline_fps()
-    ours_fps = measure_ours()
+    ours_fps, extras = measure_ours()
     print(json.dumps({
         "metric": "frames/sec/chip (binarize->CC->summary, 960x540)",
         "value": round(ours_fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(ours_fps / baseline_fps, 1),
+        "baseline_fps": round(baseline_fps, 4),
+        **extras,
     }))
 
 

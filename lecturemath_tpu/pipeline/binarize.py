@@ -135,42 +135,37 @@ class Binarizer:
         binary, _, _ = self._binarize_fn(self._to_device(frames))
         return np.asarray(jax.device_get(binary))
 
-    def process_source(self, source: VideoFrameSource, frames_limit: int = 0,
-                       invert: bool = True):
-        """Run the full stage over a frame source.
-
-        Returns (frame_times, frame_indices, binary_frames) where
-        binary_frames is a list of uint8 [H, W] arrays; with ``invert`` the
-        frames match the reference stage-01 artifact polarity (ink=255,
-        ready for CC labeling).
-        """
+    def stream_source(self, source: VideoFrameSource, frames_limit: int = 0,
+                      invert: bool = True):
+        """Generator over drained batches: yields (times, indices, frames)
+        with up to ``pipeline_depth`` batches still in flight on the device.
+        Consumers doing host work between batches (CC tracking, PNG encode)
+        overlap it with device compute — express wall-clock approaches
+        max(host, device) instead of their sum."""
         from ..models.fcn_lecturenet import unpack_bits_host
-
-        frame_times: List[float] = []
-        frame_indices: List[int] = []
-        binaries: List[np.ndarray] = []
 
         first = None
         model_size = None
+        full_size = None
         use_packed = self._packed_fn is not None
-        pending = []  # (device_result, batch) — drained one behind for overlap
+        pending = []  # (device_result, batch) — drained behind for overlap
 
         def drain(entry):
             device_binary, batch = entry
             host = np.asarray(jax.device_get(device_binary))
             if use_packed:
                 host = unpack_bits_host(host, model_size[0])
+            frames = []
             for offset in range(batch.valid):
                 img = host[offset]
-                if model_size is not None and model_size != full_size:
+                if model_size != full_size:
                     import cv2
                     img = cv2.resize(img, full_size,
                                      interpolation=cv2.INTER_NEAREST)
                 if invert:
                     img = 255 - img
-                binaries.append(img)
-            frame_times.extend(batch.times)
-            frame_indices.extend(batch.indices)
+                frames.append(img)
+            return batch.times, batch.indices, frames
 
         for batch in self._batched(source, frames_limit):
             if first is None:
@@ -189,11 +184,28 @@ class Binarizer:
                 device_binary, _, _ = self._binarize_fn(self._to_device(frames))
             pending.append((device_binary, batch))
             if len(pending) > self.pipeline_depth:
-                drain(pending.pop(0))
+                yield drain(pending.pop(0))
 
         for entry in pending:
-            drain(entry)
+            yield drain(entry)
 
+    def process_source(self, source: VideoFrameSource, frames_limit: int = 0,
+                       invert: bool = True):
+        """Run the full stage over a frame source.
+
+        Returns (frame_times, frame_indices, binary_frames) where
+        binary_frames is a list of uint8 [H, W] arrays; with ``invert`` the
+        frames match the reference stage-01 artifact polarity (ink=255,
+        ready for CC labeling).
+        """
+        frame_times: List[float] = []
+        frame_indices: List[int] = []
+        binaries: List[np.ndarray] = []
+        for times, indices, frames in self.stream_source(source, frames_limit,
+                                                         invert):
+            frame_times.extend(times)
+            frame_indices.extend(indices)
+            binaries.extend(frames)
         return frame_times, frame_indices, binaries
 
     def _batched(self, source: VideoFrameSource, frames_limit: int):

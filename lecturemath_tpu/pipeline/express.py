@@ -33,30 +33,42 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
 
     config = driver.config
 
-    # ------------------------------------------------------------ stage 01
+    # ------------------------------------------------- stages 01+02 fused
+    # CC tracking (and artifact PNG encode) consume each drained batch while
+    # the next batches are in flight on the device, so wall-clock approaches
+    # max(device binarize, host track) instead of their sum
     if binarizer is None:
         binarizer = Binarizer.from_config(config)
     if source is None:
         fps = config.get_float("SAMPLING_FPS", 1.0)
         source = VideoFrameSource(driver.video_paths(lecture), fps,
                                   lecture.forced_resolution)
-    frame_times, frame_indices, binaries = binarizer.process_source(
-        source, frames_limit)
+
+    tracker = None
+    frame_times: list = []
+    frame_indices: list = []
+    compressed = [] if save_artifacts else None
+    for times, indices, frames in binarizer.stream_source(source,
+                                                          frames_limit):
+        if tracker is None:
+            height, width = frames[0].shape
+            tracker = CCTracker(
+                width=width, height=height,
+                min_recall=config.get_float("CC_STABILITY_MIN_RECALL", 0.925),
+                min_precision=config.get_float("CC_STABILITY_MIN_PRECISION",
+                                               0.925),
+                max_gap=config.get_int("CC_STABILITY_MAX_GAP", 85))
+        frame_times.extend(times)
+        frame_indices.extend(indices)
+        for frame in frames:
+            tracker.add_frame(frame)
+        if save_artifacts:
+            compressed.extend(compress_png(frames))
 
     if save_artifacts:
-        driver.store.save((frame_times, frame_indices, compress_png(binaries)),
+        driver.store.save((frame_times, frame_indices, compressed),
                           config.get_str("BINARIZATION_OUTPUT", "tempo_binary_"),
                           lecture.id)
-
-    # ------------------------------------------------------------ stage 02
-    height, width = binaries[0].shape
-    tracker = CCTracker(
-        width=width, height=height,
-        min_recall=config.get_float("CC_STABILITY_MIN_RECALL", 0.925),
-        min_precision=config.get_float("CC_STABILITY_MIN_PRECISION", 0.925),
-        max_gap=config.get_int("CC_STABILITY_MAX_GAP", 85))
-    for frame in binaries:
-        tracker.add_frame(frame)
 
     # ------------------------------------------------------------ stage 03
     min_image_threshold = config.get_float("CC_GROUPING_MIN_IMAGE_THRESHOLD", 0.5)

@@ -106,6 +106,70 @@ def synthetic_lecture(seed: int = 0, n_frames: int = 40, height: int = 96,
     return frames, glyphs, erase_times
 
 
+def threshold_binarizer_variables(net_config, rng_key=None,
+                                  threshold_gray: float = 130.0,
+                                  sharpness: float = 4.0):
+    """Model variables that make FCN-LectureNet compute a deterministic
+    per-pixel luminance threshold at FULL production compute cost.
+
+    The trunk (encoder/decoder) keeps its random init and runs in its
+    entirety; only the head parameters are set so the binarization logit
+    reduces to sharpness * (r + g + b - 3 * threshold) of the normalized
+    input: the reconstruction head emits 0, the text head saturates its
+    sigmoid at ~1 (so diff_img == x0), the two pixel blocks emit constants,
+    and the output conv reads just the diff channels through its center tap.
+
+    Used by bench.py so the benchmark's stages 02-05 run on the model's own
+    stage-01 output (realistic CC workload, deterministic result) while
+    stage 01 remains the exact production compute shape.
+    """
+    import jax
+
+    from ..models.fcn_lecturenet import FCNLectureNet, init_variables
+
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    model = FCNLectureNet(net_config)
+    variables = jax.tree.map(
+        np.asarray,
+        init_variables(model, rng_key, (1, 64, 64, net_config.in_channels)))
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def neutral_bn(p_bn, s_bn, scale, bias):
+        p_bn["scale"] = np.full_like(p_bn["scale"], scale)
+        p_bn["bias"] = np.full_like(p_bn["bias"], bias)
+        s_bn["mean"] = np.zeros_like(s_bn["mean"])
+        s_bn["var"] = np.ones_like(s_bn["var"])
+
+    def zero_conv(p_conv):
+        p_conv["kernel"] = np.zeros_like(p_conv["kernel"])
+        if "bias" in p_conv:
+            p_conv["bias"] = np.zeros_like(p_conv["bias"])
+
+    # reconstruction -> 0  (tanh(0)); text mask -> sigmoid(10) ~ 1
+    zero_conv(params["rec_conv"])
+    neutral_bn(params["rec_bn"], stats["rec_bn"], 1.0, 0.0)
+    zero_conv(params["text_conv"])
+    neutral_bn(params["text_bn"], stats["text_bn"], 1.0, 10.0)
+
+    # pixel blocks -> constants (GELU(1)); their outputs are ignored below
+    for head in ("pixels_1", "pixels_2"):
+        zero_conv(params[head]["conv"])
+        neutral_bn(params[head]["bn"], stats[head]["bn"], 1.0, 1.0)
+
+    # out_conv: center tap over the 3 diff channels only
+    zero_conv(params["out_conv"])
+    kernel = params["out_conv"]["kernel"]
+    center = net_config.pixel_kernel_size // 2
+    kernel[center, center, :net_config.in_channels, 0] = sharpness
+    t_norm = threshold_gray / 127.5 - 1.0
+    neutral_bn(params["out_bn"], stats["out_bn"], 1.0,
+               -sharpness * net_config.in_channels * t_norm)
+
+    return variables
+
+
 def synthetic_rgb_lecture(seed: int = 0, n_frames: int = 8, height: int = 96,
                           width: int = 128, **kwargs):
     """Whiteboard-style RGB frames: light background, dark ink, mild noise.

@@ -232,10 +232,13 @@ def test_express_matches_staged(workspace, synthetic):
         def __init__(self):
             pass
 
-        def process_source(self, source, frames_limit=0, invert=True):
+        def stream_source(self, source, frames_limit=0, invert=True):
+            # two batches so express' incremental consumption is exercised
             times = [1000.0 * t for t in range(len(frames))]
             indices = [30 * t for t in range(len(frames))]
-            return times, indices, [f.copy() for f in frames]
+            half = len(frames) // 2
+            yield times[:half], indices[:half], [f.copy() for f in frames[:half]]
+            yield times[half:], indices[half:], [f.copy() for f in frames[half:]]
 
     driver = make_driver(workspace, None, None)
     lecture = driver.database.lectures[0]

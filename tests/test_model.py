@@ -157,6 +157,30 @@ def _fake_torch_state_dict(cfg: FCNConfig):
     return sd
 
 
+def test_threshold_binarizer_variables(tiny_model):
+    """The surgically-set head weights turn the full model into an exact
+    per-pixel luminance threshold (bench.py's deterministic workload)."""
+    from lecturemath_tpu.models.fcn_lecturenet import make_packed_binarizer, \
+        unpack_bits_host
+    from lecturemath_tpu.utils.synthetic import (synthetic_rgb_lecture,
+                                                 threshold_binarizer_variables)
+
+    model, _ = tiny_model
+    variables = threshold_binarizer_variables(TINY, jax.random.PRNGKey(2),
+                                              threshold_gray=130.0)
+
+    rgb, clean, _, _ = synthetic_rgb_lecture(seed=3, n_frames=4, height=64,
+                                             width=96, n_boards=1,
+                                             glyphs_per_board=4)
+    packed = make_packed_binarizer(model, variables)(jnp.asarray(rgb))
+    binary = unpack_bits_host(np.asarray(packed), 96)
+
+    # model output polarity is ink=0 / bg=255; clean frames are ink=255
+    expected = np.where(rgb.mean(axis=-1) > 130.0, 255, 0).astype(np.uint8)
+    np.testing.assert_array_equal(binary, expected)
+    np.testing.assert_array_equal(255 - binary, clean)
+
+
 def test_torch_conversion_structure(tiny_model):
     model, init_vars = tiny_model
     sd = _fake_torch_state_dict(TINY)
