@@ -29,6 +29,7 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import Config
 
@@ -68,30 +69,202 @@ class FCNConfig:
 _XAVIER = nn.initializers.xavier_normal()
 
 
+def _space_to_depth(x, block):
+    batch, h, w, c = x.shape
+    x = x.reshape(batch, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(batch, h // block,
+                                                 w // block,
+                                                 block * block * c)
+
+
+def _depth_to_space(x, block, features):
+    batch, h, w, _ = x.shape
+    x = x.reshape(batch, h, w, block, block, features)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(batch, h * block,
+                                                 w * block, features)
+
+
+def _s2d_kernel(kernel, block, dtype):
+    """Remap a canonical (k, k, C, N) SAME-conv kernel into the
+    space-to-depth domain: (k', k', b^2*C, b^2*N) with output phases stacked
+    on the output-channel axis (see s2d_conv_same for the derivation)."""
+    k = kernel.shape[0]
+    b = block
+    half = (k - 1) // 2
+    a_min = (-half) // b  # floor
+    a_max = (b - 1 + half) // b
+    kk = a_max - a_min + 1
+
+    sel = np.zeros((b, kk, b, k), np.float32)
+    for p in range(b):
+        for u in range(k):
+            a, r = divmod(p + u - half, b)
+            sel[p, a - a_min, r, u] = 1.0
+    sel = jnp.asarray(sel, dtype)
+    w2 = jnp.einsum("pAru,qBsv,uvcn->ABrscpqn", sel, sel,
+                    kernel.astype(dtype))
+    return w2.reshape(kk, kk, b * b * kernel.shape[2],
+                      b * b * kernel.shape[3])
+
+
+def _s2d_conv_parts(parts, kernels, bias, block, dtype):
+    """SAME conv over a channel-concatenation of tensors ALREADY in s2d
+    layout: per-part kernels remap independently (conv is linear in input
+    channels, so block-concatenated kernels match the s2d channel order of
+    each part). Returns the s2d-domain output (b^2*N channels).
+
+    All kernels must share the same remapped spatial extent k' — true for
+    any k <= 2*block + 1 at a given block (k=3 and k=7 both give k'=3 at
+    block 4)."""
+    w2 = jnp.concatenate([_s2d_kernel(k, block, dtype) for k in kernels],
+                         axis=2)
+    x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w2, (1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.tile(bias.astype(dtype), block * block)
+
+
+class _ConvParams(nn.Module):
+    """Registers nn.Conv-compatible {kernel, bias} parameters without an
+    op, for graph-rewritten inference paths that consume the raw kernel.
+    ``bias_size`` overrides the default last-axis size (ConvTranspose
+    kernels are (kh, kw, O, I), so their bias is axis -2)."""
+    shape: Tuple[int, ...]
+    bias_size: int = 0
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _XAVIER, self.shape)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.bias_size or self.shape[-1],))
+        return kernel, bias
+
+
+class _NestedConvParams(nn.Module):
+    """Same, nested one level down as '<name>/conv' (ConvBNAct layout)."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.shape, name="conv")()
+
+
+class _S2DUpBlock1(nn.Module):
+    """UpBlock computed in space-to-depth(2) domain for the full-res level:
+    the stride-2 2x2 ConvTranspose is exactly one 1x1 conv (matmul) whose
+    4*features output channels ARE the s2d(2) layout of the upsampled map —
+    no input dilation, no relayout. GELU/concat/conv_block stay in s2d(2).
+    Registers parameters identical to UpBlock (deconv + conv_block/conv;
+    BN-folded)."""
+    upsample_features: int
+    conv_features: int
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip_s):
+        dt = self.dtype
+        in_features = x.shape[-1]
+        up = self.upsample_features
+        dk, db = _ConvParams((2, 2, up, in_features), bias_size=up,
+                             name="deconv")()
+        # (2, 2, O, I) -> (I, 4*O); output channel (p*2+q)*O + n == s2d(2)
+        w1 = jnp.transpose(dk.astype(dt), (3, 0, 1, 2)).reshape(in_features,
+                                                                4 * up)
+        y = jnp.dot(x.astype(dt), w1) + jnp.tile(db.astype(dt), 4)
+        y = nn.gelu(y, approximate=False).astype(dt)
+
+        skip_features = skip_s.shape[-1] // 4
+        ck, cb = _NestedConvParams(
+            (self.kernel, self.kernel, up + skip_features,
+             self.conv_features), name="conv_block")()
+        h = _s2d_conv_parts([y, skip_s], [ck[:, :, :up], ck[:, :, up:]],
+                            cb, 2, dt)
+        return nn.gelu(h, approximate=False).astype(dt)
+
+
+def s2d_conv_same(x, kernel, bias, block, dtype):
+    """A k x k stride-1 SAME conv computed in the space-to-depth(block)
+    domain, output phases stacked into channels.
+
+    Mathematically identical to the plain conv (same taps, zero padding),
+    but the MXU sees input b^2*C channels and output b^2*N channels at
+    1/b^2 the spatial positions — for the narrow-N full-resolution pixel
+    heads (N = 1/16/32 vs the 128-lane MXU) this removes most of the
+    output-lane padding waste the profiler showed (the four k=7 head convs
+    were 51% of device time, running at ~55% MXU on *padded* FLOPs).
+
+    Derivation: output pixel (b*i+p) reads source rows m = b*i+p+u-half;
+    with m = b*(i+a)+r the tap (p, u) lands at S2D row offset a, phase r.
+    T[p, a - a_min, r, u] selects those taps; the transformed kernel is one
+    einsum of T with the canonical (k, k, C, N) kernel, done at trace time.
+    """
+    y = _s2d_conv_parts([_space_to_depth(x.astype(dtype), block)], [kernel],
+                        bias, block, dtype)
+    return _depth_to_space(y, block, kernel.shape[3])
+
+
+class S2DConv(nn.Module):
+    """Drop-in for nn.Conv(features, (k, k), SAME) computed via
+    s2d_conv_same; registers identical parameters (kernel/bias)."""
+    features: int
+    kernel: int
+    block: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _XAVIER,
+                            (self.kernel, self.kernel, x.shape[-1],
+                             self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s2d_conv_same(x, kernel, bias, self.block, self.dtype)
+
+
 class ConvBNAct(nn.Module):
-    """conv(k, same) + BatchNorm + optional exact GELU."""
+    """conv(k, same) + BatchNorm + optional exact GELU.
+
+    ``fold_bn`` skips the BatchNorm op entirely — for inference with
+    variables pre-folded by fold_batch_norms() (the BN affine is absorbed
+    into the conv kernel/bias; kills the full-res f32 cast/scale traffic
+    the profiler showed around every BN)."""
     features: int
     kernel: int
     use_gelu: bool = True
     dtype: Any = jnp.float32
+    fold_bn: bool = False
+
+    s2d_block: int = 0  # >0: compute the conv via s2d_conv_same(block)
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME",
-                    kernel_init=_XAVIER, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        if self.s2d_block > 1:
+            x = S2DConv(self.features, self.kernel, self.s2d_block,
+                        dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        padding="SAME", kernel_init=_XAVIER,
+                        dtype=self.dtype, name="conv")(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         if self.use_gelu:
             x = nn.gelu(x, approximate=False)
         return x.astype(self.dtype)
 
 
 class UpBlock(nn.Module):
-    """ConvTranspose(2, stride 2) + BN + GELU, concat skip, conv block."""
+    """ConvTranspose(2, stride 2) + BN + GELU, concat skip, conv block.
+
+    (A matmul+depth-to-space rewrite of the deconv was tried and measured
+    SLOWER than XLA's native lowering on v5e — the 6D relayout at full res
+    costs more than the lane padding it saves; keep nn.ConvTranspose.)"""
     upsample_features: int
     conv_features: int
     kernel: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, skip, train: bool):
@@ -99,15 +272,16 @@ class UpBlock(nn.Module):
                              padding="VALID", transpose_kernel=True,
                              kernel_init=_XAVIER, dtype=self.dtype,
                              name="deconv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         x = nn.gelu(x, approximate=False).astype(self.dtype)
         # crop to the skip's spatial dims (handles odd encoder sizes the way
         # the reference does via ConvTranspose2d(output_size=...))
         x = x[:, :skip.shape[1], :skip.shape[2], :]
         x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
         x = ConvBNAct(self.conv_features, self.kernel, dtype=self.dtype,
-                      name="conv_block")(x, train)
+                      fold_bn=self.fold_bn, name="conv_block")(x, train)
         return x
 
 
@@ -115,6 +289,11 @@ class FCNLectureNet(nn.Module):
     config: FCNConfig
     reconstruction_mode: bool = False
     dtype: Any = jnp.float32  # compute dtype; bfloat16 for TPU inference
+    fold_bn: bool = False     # inference-only: use fold_batch_norms() vars
+    # inference-only: compute the narrow-N full-res pixel/text/out head
+    # convs in space-to-depth domain (same math, far less MXU lane padding;
+    # requires H and W divisible by 4 — pad_to_multiple guarantees it)
+    s2d_heads: bool = False
 
     @nn.compact
     def __call__(self, x0, train: bool = False, mode: str = "full"):
@@ -124,18 +303,33 @@ class FCNLectureNet(nn.Module):
         get_batch_diff_images, :325-352)."""
         cfg = self.config
         dt = self.dtype
+
+        # fast inference path: the full-resolution portions of the network
+        # (down_1, up_1, and the whole rec/text/diff/pixel head pipeline)
+        # run in space-to-depth(2) domain — one transform at the input, one
+        # at the outputs, wide-channel tensors throughout. The plain path's
+        # narrow-channel full-res convs and elementwise ops were HBM-bound
+        # and lane-padding-bound on the MXU; this path is numerically
+        # identical on the same BN-folded parameters (parity-tested).
+        if (self.s2d_heads and self.fold_bn and not train and mode == "full"
+                and not self.reconstruction_mode
+                and cfg.pixel_kernel_size > 1
+                and cfg.pixel_kernel_size >= cfg.kernel_size
+                and x0.shape[1] % 32 == 0 and x0.shape[2] % 32 == 0):
+            return self._s2d_fast_forward(cfg, x0)
+
         x = x0.astype(dt)
 
         # ---------------- encoder ----------------
         skips = []
         for level, features in enumerate(cfg.down_filters, start=1):
             pre = ConvBNAct(features, cfg.kernel_size, dtype=dt,
-                            name=f"down_{level}")(x, train)
+                            fold_bn=self.fold_bn, name=f"down_{level}")(x, train)
             skips.append(pre)
             x = nn.max_pool(pre, (2, 2), strides=(2, 2))
 
         x = ConvBNAct(cfg.mid_filters, cfg.kernel_size, dtype=dt,
-                      name="mid")(x, train)
+                      fold_bn=self.fold_bn, name="mid")(x, train)
 
         if mode == "encode":
             return x.astype(jnp.float32)
@@ -143,7 +337,7 @@ class FCNLectureNet(nn.Module):
         # ---------------- decoder ----------------
         for level in range(5, 0, -1):
             x = UpBlock(cfg.upsample_filters[level - 1], cfg.up_filters[level - 1],
-                        cfg.kernel_size, dtype=dt,
+                        cfg.kernel_size, dtype=dt, fold_bn=self.fold_bn,
                         name=f"up_{level}")(x, skips[level - 1], train)
 
         x_up1 = x
@@ -152,8 +346,10 @@ class FCNLectureNet(nn.Module):
         rec = nn.Conv(cfg.in_channels, (cfg.kernel_size, cfg.kernel_size),
                       padding="SAME", kernel_init=_XAVIER, dtype=dt,
                       name="rec_conv")(x_up1)
-        rec = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32, name="rec_bn")(rec)
+        if not self.fold_bn:
+            rec = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, dtype=jnp.float32,
+                               name="rec_bn")(rec)
         rec = jnp.tanh(rec).astype(dt)
 
         if self.reconstruction_mode and mode == "full":
@@ -161,11 +357,19 @@ class FCNLectureNet(nn.Module):
 
         # ---------------- text-mask head ----------------
         pk = cfg.pixel_kernel_size
-        text_logits = nn.Conv(1, (pk, pk), padding="SAME", kernel_init=_XAVIER,
-                              dtype=dt, name="text_conv")(x_up1)
-        text_logits = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                   epsilon=1e-5, dtype=jnp.float32,
-                                   name="text_bn")(text_logits)
+        s2d = 4 if (self.s2d_heads and pk > 1) else 0
+        if s2d:
+            text_logits = S2DConv(1, pk, s2d, dtype=dt,
+                                  name="text_conv")(x_up1)
+        else:
+            text_logits = nn.Conv(1, (pk, pk), padding="SAME",
+                                  kernel_init=_XAVIER, dtype=dt,
+                                  name="text_conv")(x_up1)
+        if not self.fold_bn:
+            text_logits = nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=jnp.float32,
+                                       name="text_bn")(text_logits)
 
         # ---------------- binarization head ----------------
         diff = (x0.astype(dt) - rec) * jax.nn.sigmoid(text_logits).astype(dt)
@@ -174,22 +378,186 @@ class FCNLectureNet(nn.Module):
             return diff.astype(jnp.float32), x_up1.astype(jnp.float32)
 
         h = jnp.concatenate([diff, x_up1], axis=-1)
-        h = ConvBNAct(cfg.pixel_features[0], pk, dtype=dt, name="pixels_1")(h, train)
+        h = ConvBNAct(cfg.pixel_features[0], pk, dtype=dt,
+                      fold_bn=self.fold_bn, s2d_block=2 if s2d else 0,
+                      name="pixels_1")(h, train)
         h = jnp.concatenate([diff, h], axis=-1)
-        h = ConvBNAct(cfg.pixel_features[1], pk, dtype=dt, name="pixels_2")(h, train)
+        h = ConvBNAct(cfg.pixel_features[1], pk, dtype=dt,
+                      fold_bn=self.fold_bn, s2d_block=s2d,
+                      name="pixels_2")(h, train)
         h = jnp.concatenate([diff, h], axis=-1)
-        bin_logits = nn.Conv(1, (pk, pk), padding="SAME", kernel_init=_XAVIER,
-                             dtype=dt, name="out_conv")(h)
-        bin_logits = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                  epsilon=1e-5, dtype=jnp.float32,
-                                  name="out_bn")(bin_logits)
+        if s2d:
+            bin_logits = S2DConv(1, pk, s2d, dtype=dt, name="out_conv")(h)
+        else:
+            bin_logits = nn.Conv(1, (pk, pk), padding="SAME",
+                                 kernel_init=_XAVIER, dtype=dt,
+                                 name="out_conv")(h)
+        if not self.fold_bn:
+            bin_logits = nn.BatchNorm(use_running_average=not train,
+                                      momentum=0.9, epsilon=1e-5,
+                                      dtype=jnp.float32, name="out_bn")(bin_logits)
 
+        return bin_logits, text_logits, rec
+
+    def _s2d_fast_forward(self, cfg, x0):
+        """Full inference forward with the full-resolution compute in
+        space-to-depth(2) domain end-to-end:
+
+          * down_1 conv+GELU in s2d(2); the 2x2 max-pool is just a max over
+            the four phase channels (no window op at all)
+          * encoder 2..5 / mid / decoder 5..2 run the plain modules
+          * up_1's stride-2 2x2 deconv IS one 1x1 conv whose output lands
+            directly in s2d(2) layout (each input pixel owns its 2x2 output
+            block); GELU/concat/conv_block stay in s2d(2)
+          * the rec/text/diff/pixel head pipeline runs on the s2d tensors
+
+        Same parameters, same math as the plain path (parity-tested)."""
+        dt = self.dtype
+        k = cfg.kernel_size
+
+        x0_s = _space_to_depth(x0.astype(dt), 2)
+        batch, h2, w2, _ = x0_s.shape
+
+        d1_k, d1_b = _NestedConvParams(
+            (k, k, cfg.in_channels, cfg.down_filters[0]), name="down_1")()
+        skip1_s = nn.gelu(_s2d_conv_parts([x0_s], [d1_k], d1_b, 2, dt),
+                          approximate=False).astype(dt)
+        x = skip1_s.reshape(batch, h2, w2, 4, cfg.down_filters[0]).max(axis=3)
+
+        skips = [None]
+        for level, features in enumerate(cfg.down_filters[1:], start=2):
+            pre = ConvBNAct(features, k, dtype=dt, fold_bn=True,
+                            name=f"down_{level}")(x, False)
+            skips.append(pre)
+            x = nn.max_pool(pre, (2, 2), strides=(2, 2))
+        x = ConvBNAct(cfg.mid_filters, k, dtype=dt, fold_bn=True,
+                      name="mid")(x, False)
+
+        for level in range(5, 1, -1):
+            x = UpBlock(cfg.upsample_filters[level - 1],
+                        cfg.up_filters[level - 1], k, dtype=dt, fold_bn=True,
+                        name=f"up_{level}")(x, skips[level - 1], False)
+
+        xup_s = _S2DUpBlock1(cfg.upsample_filters[0], cfg.up_filters[0], k,
+                             dtype=dt, name="up_1")(x, skip1_s)
+
+        return self._s2d_domain_heads(cfg, x0_s, xup_s, block=2)
+
+    def _s2d_domain_heads(self, cfg, x0_s, xup_s, block):
+        """Head forward entirely in space-to-depth(block) domain on inputs
+        already in s2d layout. Numerically identical to the plain head path
+        on the same (BN-folded) params — parity-tested in tests/test_model.py."""
+        dt = self.dtype
+        b = block
+        pk = cfg.pixel_kernel_size
+        k = cfg.kernel_size
+        c_in = cfg.in_channels
+        up1 = cfg.up_filters[0]
+        p1_n, p2_n = cfg.pixel_features
+        phases = b * b
+
+        rec_k, rec_b = _ConvParams((k, k, up1, c_in), name="rec_conv")()
+        text_k, text_b = _ConvParams((pk, pk, up1, 1), name="text_conv")()
+        p1_k, p1_b = _NestedConvParams((pk, pk, c_in + up1, p1_n),
+                                       name="pixels_1")()
+        p2_k, p2_b = _NestedConvParams((pk, pk, c_in + p1_n, p2_n),
+                                       name="pixels_2")()
+        out_k, out_b = _ConvParams((pk, pk, c_in + p2_n, 1),
+                                   name="out_conv")()
+
+        batch, hs, ws, _ = x0_s.shape
+
+        # rec (k) + text (pk) fused into one conv over x_up1: the rec
+        # kernel zero-pads spatially to pk (exact for SAME convs), so both
+        # remap to the same k' extent
+        if pk > k:
+            pad = (pk - k) // 2
+            rec_k = jnp.pad(rec_k, ((pad, pad), (pad, pad), (0, 0), (0, 0)))
+        w_rec = _s2d_kernel(rec_k, b, dt)
+        w_text = _s2d_kernel(text_k, b, dt)
+        rt = jax.lax.conv_general_dilated(
+            xup_s, jnp.concatenate([w_rec, w_text], axis=3), (1, 1),
+            padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        rec_s = jnp.tanh(rt[..., :phases * c_in]
+                         + jnp.tile(rec_b.astype(dt), phases)).astype(dt)
+        text_s = rt[..., phases * c_in:] + jnp.tile(text_b.astype(dt),
+                                                    phases)
+
+        # diff = (x0 - rec) * sigmoid(text), per phase
+        sig = jax.nn.sigmoid(text_s).astype(dt)
+        diff_s = ((x0_s.reshape(batch, hs, ws, phases, c_in)
+                   - rec_s.reshape(batch, hs, ws, phases, c_in))
+                  * sig.reshape(batch, hs, ws, phases, 1))
+        diff_s = diff_s.reshape(batch, hs, ws, phases * c_in)
+
+        h = _s2d_conv_parts([diff_s, xup_s],
+                            [p1_k[:, :, :c_in], p1_k[:, :, c_in:]],
+                            p1_b, b, dt)
+        h = nn.gelu(h, approximate=False).astype(dt)
+        h = _s2d_conv_parts([diff_s, h],
+                            [p2_k[:, :, :c_in], p2_k[:, :, c_in:]],
+                            p2_b, b, dt)
+        h = nn.gelu(h, approximate=False).astype(dt)
+        bin_s = _s2d_conv_parts([diff_s, h],
+                                [out_k[:, :, :c_in], out_k[:, :, c_in:]],
+                                out_b, b, dt)
+
+        bin_logits = _depth_to_space(bin_s, b, 1)
+        text_logits = _depth_to_space(text_s, b, 1)
+        rec = _depth_to_space(rec_s, b, c_in)
         return bin_logits, text_logits, rec
 
 
 # ---------------------------------------------------------------------------
 # inference helpers
 # ---------------------------------------------------------------------------
+
+def fold_batch_norms(variables, eps: float = 1e-5):
+    """Fold every inference BatchNorm affine into the preceding conv/deconv
+    kernel+bias: y = a*(conv(x)+bias-mean)+b == conv'(x) with kernel*a and
+    bias a*(bias-mean)+b. Returns {'params': ...} for a model built with
+    ``fold_bn=True``. Standard inference optimization — removes all BN ops
+    (and their full-resolution f32 cast/scale traffic) from the graph.
+    """
+    import numpy as np
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def folded(conv, bn_p, bn_s, out_axis=-1):
+        a = np.asarray(bn_p["scale"], np.float32) / np.sqrt(
+            np.asarray(bn_s["var"], np.float32) + eps)
+        shift = (np.asarray(bn_p["bias"], np.float32)
+                 - a * np.asarray(bn_s["mean"], np.float32))
+        kernel = np.asarray(conv["kernel"], np.float32)
+        shape = [1] * kernel.ndim
+        shape[out_axis] = -1
+        bias = np.asarray(conv.get("bias", np.zeros(a.shape)), np.float32)
+        return {"kernel": kernel * a.reshape(shape), "bias": a * bias + shift}
+
+    out = {}
+    plain = [f"down_{i}" for i in range(1, 6)] + ["mid", "pixels_1",
+                                                  "pixels_2"]
+    for name in plain:
+        out[name] = {"conv": folded(params[name]["conv"],
+                                    params[name]["bn"], stats[name]["bn"])}
+    for i in range(1, 6):
+        name = f"up_{i}"
+        out[name] = {
+            # ConvTranspose(transpose_kernel=True) kernels are (kh, kw, O, I)
+            "deconv": folded(params[name]["deconv"], params[name]["bn"],
+                             stats[name]["bn"], out_axis=-2),
+            "conv_block": {"conv": folded(params[name]["conv_block"]["conv"],
+                                          params[name]["conv_block"]["bn"],
+                                          stats[name]["conv_block"]["bn"])},
+        }
+    for conv_name, bn_name in (("rec_conv", "rec_bn"),
+                               ("text_conv", "text_bn"),
+                               ("out_conv", "out_bn")):
+        out[conv_name] = folded(params[conv_name], params[bn_name],
+                                stats[bn_name])
+    return {"params": out}
+
 
 def make_feature_extractor(model: FCNLectureNet, variables):
     """Jitted mid-block encoder features: uint8 RGB [B,H,W,3] -> f32

@@ -49,11 +49,30 @@ class Binarizer:
 
     def __init__(self, model: FCNLectureNet, variables,
                  batch_size: Optional[int] = None, force_binary: bool = True,
-                 threshold: int = 128, pipeline_depth: int = 2, mesh=None):
+                 threshold: int = 128, pipeline_depth: int = 2, mesh=None,
+                 fold_bn: bool = True, s2d_heads: bool = True):
         """``mesh`` (jax.sharding.Mesh with 'data'/'model' axes) shards the
         frame axis across chips — params replicate (or channel-shard over
         'model' when that axis is >1) and GSPMD inserts the collectives.
-        Single-mesh and no-mesh runs produce identical frames."""
+        Single-mesh and no-mesh runs produce identical frames.
+
+        ``fold_bn`` (default): fold BatchNorm affines into the conv weights
+        for inference (models.fcn_lecturenet.fold_batch_norms).
+        ``s2d_heads`` (default): compute the narrow full-res head convs in
+        space-to-depth domain (same math, less MXU lane padding). Both are
+        numerically equivalent graph rewrites of the same parameters."""
+        want_fold = fold_bn and not model.fold_bn and "batch_stats" in variables
+        want_s2d = s2d_heads and not model.s2d_heads
+        if want_fold or want_s2d:
+            if want_fold:
+                from ..models.fcn_lecturenet import fold_batch_norms
+
+                variables = fold_batch_norms(variables)
+            model = FCNLectureNet(model.config,
+                                  reconstruction_mode=model.reconstruction_mode,
+                                  dtype=model.dtype,
+                                  fold_bn=model.fold_bn or want_fold,
+                                  s2d_heads=model.s2d_heads or want_s2d)
         self.model = model
         self.mesh = mesh
         self._input_sharding = None
@@ -66,9 +85,11 @@ class Binarizer:
                 params = shard_params(mesh, variables["params"])
             else:
                 params = replicate(mesh, variables["params"])
-            variables = {"params": params,
-                         "batch_stats": replicate(mesh,
-                                                  variables["batch_stats"])}
+            sharded = {"params": params}
+            if "batch_stats" in variables:
+                sharded["batch_stats"] = replicate(mesh,
+                                                   variables["batch_stats"])
+            variables = sharded
             self._input_sharding = NamedSharding(mesh, P("data"))
             data_size = mesh.shape["data"]
             if batch_size is not None:

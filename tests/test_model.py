@@ -181,6 +181,71 @@ def test_threshold_binarizer_variables(tiny_model):
     np.testing.assert_array_equal(255 - binary, clean)
 
 
+def test_fold_batch_norms_parity(tiny_model):
+    """Folded-BN inference == BN inference (exact affine absorption)."""
+    from lecturemath_tpu.models.fcn_lecturenet import fold_batch_norms
+
+    _, variables = tiny_model
+    # non-trivial running stats so the fold actually moves numbers
+    rng = np.random.default_rng(3)
+    stats = jax.tree.map(
+        lambda v: np.asarray(v) + rng.normal(0.1, 0.3, np.shape(v)).astype(np.float32) ** 2,
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    folded_model = FCNLectureNet(TINY, fold_bn=True)
+    folded_vars = fold_batch_norms(variables)
+
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 32, 32, 3),
+                           minval=-1.0, maxval=1.0)
+    ref = FCNLectureNet(TINY).apply(variables, x, train=False)
+    got = folded_model.apply(folded_vars, x, train=False)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_s2d_conv_same_exact():
+    """s2d_conv_same == plain SAME conv, all block/kernel/size combos."""
+    from lecturemath_tpu.models.fcn_lecturenet import s2d_conv_same
+
+    rng = np.random.default_rng(5)
+    for k in (3, 7):
+        for block in (2, 4):
+            for h, w in ((32, 32), (16, 64)):
+                x = jnp.asarray(rng.normal(0, 1, (2, h, w, 5)).astype(np.float32))
+                kernel = jnp.asarray(rng.normal(0, 0.3, (k, k, 5, 3)).astype(np.float32))
+                bias = jnp.asarray(rng.normal(0, 0.1, 3).astype(np.float32))
+                ref = jax.lax.conv_general_dilated(
+                    x, kernel, (1, 1), padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+                got = s2d_conv_same(x, kernel, bias, block, jnp.float32)
+                np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                           atol=5e-5,
+                                           err_msg=f"k={k} b={block} {h}x{w}")
+
+
+def test_s2d_heads_model_parity(tiny_model):
+    """Full model with s2d_heads == plain model on identical variables,
+    both per-conv (unfolded) and the full s2d-domain head path (folded)."""
+    from lecturemath_tpu.models.fcn_lecturenet import fold_batch_norms
+
+    model, variables = tiny_model
+    x = jax.random.uniform(jax.random.PRNGKey(6), (2, 32, 64, 3),
+                           minval=-1.0, maxval=1.0)
+    ref = model.apply(variables, x, train=False)
+
+    got = FCNLectureNet(TINY, s2d_heads=True).apply(variables, x,
+                                                    train=False)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+    folded = fold_batch_norms(variables)
+    got = FCNLectureNet(TINY, fold_bn=True, s2d_heads=True).apply(
+        folded, x, train=False)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
 def test_torch_conversion_structure(tiny_model):
     model, init_vars = tiny_model
     sd = _fake_torch_state_dict(TINY)
