@@ -43,7 +43,7 @@ BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 FRAMES = 128
 WIDTH, HEIGHT = 960, 540
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 RUNS = 3
 BASELINE_FRAMES = 10
 
@@ -143,9 +143,46 @@ def run_pipeline(binarizer, rgb):
     return elapsed, breakdown, results
 
 
+def logical_model_flops(cfg, height: int, width: int) -> float:
+    """Analytic logical FLOPs of one plain-path forward at the padded model
+    resolution (2 * MACs over every conv/deconv). The compiled graph's
+    cost_analysis over-counts the s2d fast path (its phase-stacked kernels
+    hold structural zeros), so MFU is computed against this instead."""
+    h = -(-height // 32) * 32
+    w = -(-width // 32) * 32
+    flops = 0.0
+
+    prev = cfg.in_channels
+    for level, feat in enumerate(cfg.down_filters):
+        hl, wl = h >> level, w >> level
+        flops += 2.0 * cfg.kernel_size ** 2 * prev * feat * hl * wl
+        prev = feat
+    flops += 2.0 * cfg.kernel_size ** 2 * prev * cfg.mid_filters * (h >> 5) * (w >> 5)
+
+    prev = cfg.mid_filters
+    for level in range(5, 0, -1):
+        hin, win = h >> level, w >> level
+        up = cfg.upsample_filters[level - 1]
+        out = cfg.up_filters[level - 1]
+        skip = cfg.down_filters[level - 1]
+        flops += 2.0 * 4 * prev * up * hin * win               # deconv 2x2 s2
+        flops += 2.0 * cfg.kernel_size ** 2 * (up + skip) * out \
+            * (h >> (level - 1)) * (w >> (level - 1))
+        prev = out
+
+    c, pk, k = cfg.in_channels, cfg.pixel_kernel_size, cfg.kernel_size
+    p1, p2 = cfg.pixel_features
+    flops += 2.0 * k ** 2 * prev * c * h * w                   # rec head
+    flops += 2.0 * pk ** 2 * prev * 1 * h * w                  # text head
+    flops += 2.0 * pk ** 2 * (c + prev) * p1 * h * w           # pixels_1
+    flops += 2.0 * pk ** 2 * (c + p1) * p2 * h * w             # pixels_2
+    flops += 2.0 * pk ** 2 * (c + p2) * 1 * h * w              # out
+    return flops
+
+
 def measure_device_forward(binarizer, rgb):
-    """Device-only packed forward: dispatch N resident batches, block once.
-    Returns (fps, flops_per_frame or None)."""
+    """Device-only packed forward fps: dispatch N resident batches, block
+    once (input already in HBM — isolates compute from the host link)."""
     import jax.numpy as jnp
 
     batch = jax.device_put(jnp.asarray(rgb[:BATCH]))
@@ -157,16 +194,7 @@ def measure_device_forward(binarizer, rgb):
     outs = [fn(batch) for _ in range(n_batches)]
     jax.block_until_ready(outs)
     elapsed = time.perf_counter() - start
-    fps = n_batches * BATCH / elapsed
-
-    flops_per_frame = None
-    try:
-        cost = fn.lower(batch).compile().cost_analysis()
-        if cost and "flops" in cost:
-            flops_per_frame = float(cost["flops"]) / BATCH
-    except Exception:
-        pass
-    return fps, flops_per_frame
+    return n_batches * BATCH / elapsed
 
 
 def peak_bf16_flops():
@@ -199,10 +227,12 @@ def measure_ours():
     mismatch = float(np.mean(results.pop("sample_binary") != clean[0]))
     assert mismatch < 1e-4, f"model output diverged from oracle: {mismatch}"
 
-    device_fps, flops_per_frame = measure_device_forward(binarizer, rgb)
+    device_fps = measure_device_forward(binarizer, rgb)
+    flops_per_frame = logical_model_flops(binarizer.model.config,
+                                          HEIGHT, WIDTH)
     peak, device_kind = peak_bf16_flops()
     mfu = None
-    if peak and flops_per_frame:
+    if peak:
         mfu = flops_per_frame * device_fps / peak
 
     n_params = sum(int(np.prod(np.shape(v))) for v in
@@ -217,6 +247,14 @@ def measure_ours():
         "batch_size": binarizer.batch_size,
         "params_millions": round(n_params / 1e6, 2),
         "frames": FRAMES,
+        # end-to-end fps includes moving raw frames to the chip; on this
+        # rig that link is a remote tunnel (~10-40 MB/s, variable), so the
+        # e2e number is transfer-bound and noisy — device fps + mfu carry
+        # the compute story
+        "transfer_mb": {
+            "rgb_up": round(FRAMES * HEIGHT * WIDTH * 3 / 1e6, 1),
+            "packed_down": round(FRAMES * HEIGHT * (-(-WIDTH // 8)) / 1e6, 1),
+        },
         "breakdown": breakdown,
         **{k: v for k, v in results.items()},
     }
