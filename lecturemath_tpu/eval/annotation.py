@@ -53,6 +53,70 @@ class KeyframePortion:
         self.binary = 255 - self.binary
 
 
+def portions_from_binary(binary_ink0: np.ndarray, margin: int = 2,
+                         merge_distance: int = 12) -> List[KeyframePortion]:
+    """Create a fresh portions tree from a binary keyframe (ink=0/bg=255)
+    — the headless equivalent of the reference's GTPixelBinaryAnnotator
+    output: one rectangular KeyFramePortion per spatial cluster of content,
+    whose combination reproduces the keyframe exactly (round-trip tested).
+
+    Clusters are connected components of the CC bbox-proximity graph
+    (boxes expanded by ``merge_distance``), so nearby symbols share a
+    portion like hand-drawn annotation regions do.
+    """
+    h, w = binary_ink0.shape
+    ccs = extract_ccs(255 - binary_ink0, filter_small=False)
+    if not ccs:
+        return []
+
+    boxes = np.array([[cc.min_x, cc.max_x, cc.min_y, cc.max_y] for cc in ccs],
+                     dtype=np.int64)
+    grown = boxes + np.array([-merge_distance, merge_distance,
+                              -merge_distance, merge_distance])
+    x_hit = (grown[:, None, 0] <= grown[None, :, 1]) & \
+            (grown[None, :, 0] <= grown[:, None, 1])
+    y_hit = (grown[:, None, 2] <= grown[None, :, 3]) & \
+            (grown[None, :, 2] <= grown[:, None, 3])
+    adjacency = x_hit & y_hit
+
+    parent = list(range(len(ccs)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, j in zip(*np.nonzero(adjacency)):
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            parent[rj] = ri
+
+    clusters: Dict[int, List[int]] = {}
+    for idx in range(len(ccs)):
+        clusters.setdefault(find(idx), []).append(idx)
+
+    portions = []
+    for members in clusters.values():
+        min_x = max(0, int(boxes[members, 0].min()) - margin)
+        max_x = min(w - 1, int(boxes[members, 1].max()) + margin)
+        min_y = max(0, int(boxes[members, 2].min()) - margin)
+        max_y = min(h - 1, int(boxes[members, 3].max()) + margin)
+        pw = max_x - min_x + 1
+        ph = max_y - min_y + 1
+        # portion crop keeps only this cluster's ink (ink=0 convention)
+        crop = np.full((ph, pw), 255, dtype=np.uint8)
+        for idx in members:
+            cc = ccs[idx]
+            oy, ox = cc.min_y - min_y, cc.min_x - min_x
+            region = crop[oy:oy + cc.height, ox:ox + cc.width]
+            region[cc.img > 0] = 0
+        portions.append(KeyframePortion(min_x, min_y, pw, ph, crop))
+
+    portions.sort(key=lambda p: (p.y, p.x))
+    return portions
+
+
 # ------------------------------------------------------------ video objects
 
 class VideoObject:
