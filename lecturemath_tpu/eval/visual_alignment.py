@@ -4,7 +4,9 @@ main and auxiliary camera views.
 Role-equivalent of the reference's SURF-based path (reference:
 AccessMath/preprocessing/content/aligner.py:91-253 computeVisualAlignment +
 VisualAlignment helpers). SURF is patented/non-free and absent from modern
-OpenCV builds, so matching uses ORB with Lowe's ratio test; the projection
+OpenCV builds; matching uses SIFT (the same scale/rotation-invariant
+float-descriptor family — SURF is a fast SIFT approximation) with Lowe's
+ratio test, falling back to ORB where SIFT is unavailable. The projection
 is a RANSAC homography scored by projected-content overlap across all
 sampled frame pairs, like the reference.
 """
@@ -19,16 +21,22 @@ import numpy as np
 def matching_points(image_a: np.ndarray, image_b: np.ndarray,
                     ratio_threshold: float = 0.75,
                     n_features: int = 2000):
-    """ORB keypoint matches (a_points, b_points) as float32 [N, 2] arrays."""
+    """SIFT (or ORB-fallback) keypoint matches (a_points, b_points) as
+    float32 [N, 2] arrays."""
     import cv2
 
-    orb = cv2.ORB_create(nfeatures=n_features)
-    kp_a, desc_a = orb.detectAndCompute(image_a, None)
-    kp_b, desc_b = orb.detectAndCompute(image_b, None)
+    if hasattr(cv2, "SIFT_create"):
+        detector = cv2.SIFT_create(nfeatures=n_features)
+        norm = cv2.NORM_L2
+    else:  # pragma: no cover - depends on OpenCV build
+        detector = cv2.ORB_create(nfeatures=n_features)
+        norm = cv2.NORM_HAMMING
+    kp_a, desc_a = detector.detectAndCompute(image_a, None)
+    kp_b, desc_b = detector.detectAndCompute(image_b, None)
     if desc_a is None or desc_b is None or len(kp_a) < 4 or len(kp_b) < 4:
         return np.zeros((0, 2), np.float32), np.zeros((0, 2), np.float32)
 
-    matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+    matcher = cv2.BFMatcher(norm)
     raw = matcher.knnMatch(desc_a, desc_b, k=2)
     points_a, points_b = [], []
     for pair in raw:

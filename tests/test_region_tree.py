@@ -79,7 +79,7 @@ def test_visual_alignment_recovers_shift():
 
     rng = np.random.default_rng(1)
     base = np.zeros((240, 320), np.uint8)
-    for _ in range(25):  # textured content so ORB finds corners
+    for _ in range(25):  # textured content so the detector finds corners
         x, y = int(rng.integers(20, 280)), int(rng.integers(20, 200))
         cv2.rectangle(base, (x, y), (x + int(rng.integers(5, 30)),
                                      y + int(rng.integers(5, 30))), 255, -1)
