@@ -44,7 +44,7 @@ BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
 FRAMES = 128
 WIDTH, HEIGHT = 960, 540
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
-RUNS = 3
+RUNS = 5
 BASELINE_FRAMES = 10
 
 # peak dense bf16 TFLOP/s per chip by device kind substring
