@@ -36,13 +36,40 @@ def resolve_model_size(width: int, height: int,
     return width, height
 
 
+_REMOTE_LINK = None
+
+
+def remote_device_link() -> bool:
+    """True when the device sits behind a remote transfer tunnel (axon) —
+    host<->device bandwidth is then orders of magnitude below PCIe and
+    stage 01 becomes transfer-bound."""
+    global _REMOTE_LINK
+    if _REMOTE_LINK is None:
+        try:
+            version = getattr(jax.devices()[0].client, "platform_version", "")
+            _REMOTE_LINK = "axon" in str(version).lower()
+        except Exception:
+            _REMOTE_LINK = False
+    return _REMOTE_LINK
+
+
 def default_batch_size(width: int, height: int,
-                       pixel_budget: int = 16_000_000,
-                       max_batch: int = 64) -> int:
-    """Pick a batch size with roughly constant device memory footprint
-    (capped: tiny frames don't justify huge batches/compiles). Bigger
-    batches measurably help MXU utilization (batch 8 -> 48 was ~1.2x on
-    v5e at 960x540); rounded to a multiple of 8 for clean tiling."""
+                       pixel_budget: int = 0, max_batch: int = 0) -> int:
+    """Pick a batch size with roughly constant device memory footprint,
+    adapted to the device link (the reference picks its frame-seek strategy
+    by measuring, video_processor.py:100-146 — same idea here):
+
+      * locally attached chip: big batches — MXU utilization keeps rising
+        (batch 8 -> 96 was ~1.7x on v5e at 960x540; 192 OOMs a 16G chip)
+      * remote tunnel (axon): smaller batches — stage 01 is transfer-bound
+        and finer batches pipeline uploads/compute/downloads better
+
+    Rounded to a multiple of 8; capped so tiny frames don't justify huge
+    compiles."""
+    if not pixel_budget:
+        pixel_budget = 16_000_000 if remote_device_link() else 48_000_000
+    if not max_batch:
+        max_batch = 32 if remote_device_link() else 96
     batch = max(1, min(max_batch, pixel_budget // max(1, width * height)))
     if batch >= 8:
         batch -= batch % 8

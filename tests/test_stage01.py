@@ -58,4 +58,8 @@ def test_auto_batch_size():
     source = ArraySource(rgb, fps=1.0)
     times, indices, binaries = binarizer.process_source(source)
     assert len(binaries) == 3
-    assert binarizer.batch_size == 64  # capped auto batch for tiny frames
+    from lecturemath_tpu.pipeline.binarize import default_batch_size
+    # capped auto batch for tiny frames (cap is link-adaptive: 96 local,
+    # 32 behind a remote device tunnel)
+    assert binarizer.batch_size == default_batch_size(32, 32)
+    assert binarizer.batch_size in (32, 96)
