@@ -112,3 +112,75 @@ def test_summary_evaluation(workspace, capsys):
     evaluator.print_totals()
     out = capsys.readouterr().out
     assert "se01" in out and "Averages" in out
+
+
+def test_eval_consumes_generated_gt_tree(tmp_path):
+    """Full circle: a GT tree PRODUCED by the GT-tooling (keyframe chain ->
+    build_unique_cc_groups -> groups_to_xml) is consumed by the summary
+    evaluator, with a perfect summary scoring ~1.0."""
+    import cv2
+
+    from lecturemath_tpu.eval.aligner import build_unique_cc_groups
+
+    (tmp_path / "db.xml").write_text(DB_XML)
+    (tmp_path / "eval.conf").write_text(
+        f"VIDEO_DATABASE_PATH = {tmp_path}/db.xml\n"
+        f"OUTPUT_PATH = {tmp_path}/output\n")
+
+    frames, _, _ = synthetic_lecture(seed=9, n_frames=24, height=64,
+                                     width=96, n_boards=2,
+                                     glyphs_per_board=4, glyph_size=(12, 14))
+    # three keyframes; content persists within each era so groups chain
+    gt_indices = [150, 330, 690]
+    gt_times = [5000.0, 11000.0, 23000.0]
+    gt_binaries = [255 - frames[k] for k in (5, 11, 23)]
+    gt_segments = [(0, 240), (240, 480), (480, 720)]
+
+    prefix = tmp_path / "output" / "annotations" / "SEDB_se01"
+    (prefix / "keyframes").mkdir(parents=True)
+    (prefix / "binary").mkdir(parents=True)
+
+    xml = ["<Annotations>", "  <Database>SEDB</Database>",
+           "  <Lecture>se01</Lecture>", "  <Filename>x</Filename>",
+           "  <VideoFiles><VideoFile>se01.mp4</VideoFile></VideoFiles>",
+           "  <VideoSegments>"]
+    for start, end in gt_segments:
+        xml += ["    <VideoSegment>", f"      <Start>{start}</Start>",
+                f"      <End>{end}</End>", "    </VideoSegment>"]
+    xml += ["  </VideoSegments>", "  <VideoKeyFrames>"]
+    for idx, t, binary in zip(gt_indices, gt_times, gt_binaries):
+        rgb = np.stack([binary] * 3, axis=-1)
+        cv2.imwrite(str(prefix / "keyframes" / f"{idx}.png"), rgb)
+        cv2.imwrite(str(prefix / "binary" / f"{idx}.png"), rgb)
+        xml += ["    <VideoKeyFrame>", f"       <Index>{idx}</Index>",
+                f"       <AbsTime>{t}</AbsTime>",
+                "       <VideoObjects></VideoObjects>",
+                "    </VideoKeyFrame>"]
+    xml += ["  </VideoKeyFrames>", "</Annotations>"]
+    (prefix / "segments.xml").write_text("\n".join(xml))
+
+    # GT unique groups via the production tooling (chained across frames)
+    gt_kfs = KeyframeAnnotation.load_exported_keyframes(
+        str(prefix / "segments.xml"), str(prefix / "keyframes") + "/", False)
+    for kf in gt_kfs:
+        kf.binary_image = cv2.imread(str(prefix / "binary" / f"{kf.idx}.png"))
+        kf.update_binary_cc(False)
+    groups, _ = build_unique_cc_groups(gt_kfs, local_window=3,
+                                       min_recall=0.8, min_precision=0.8)
+    assert any(len(g.cc_refs) > 1 for g in groups)  # chains, not singletons
+    (prefix / "unique_ccs.xml").write_text(
+        UniqueCCGroup.groups_to_xml(gt_kfs, groups))
+
+    export_summary(str(tmp_path / "output" / "summaries" / "SEDB_se01"),
+                   "SEDB", "se01", ["se01.mp4"], gt_segments,
+                   [(0.0, 8000.0), (8000.0, 16000.0), (16000.0, 24000.0)],
+                   gt_indices, gt_times,
+                   [np.stack([b] * 3, axis=-1) for b in gt_binaries])
+
+    config = Config.from_file(str(tmp_path / "eval.conf"))
+    database = MetaDataDB.from_file(str(tmp_path / "db.xml"))
+    metrics = SummaryEvaluator().evaluate_lecture(
+        config, database, database.get_lecture("se01"))
+    entry = metrics["all"][0]
+    assert entry["recall_metrics"]["recall"] > 0.95
+    assert entry["precision_metrics"]["precision"] > 0.95
