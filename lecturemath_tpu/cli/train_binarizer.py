@@ -53,8 +53,12 @@ def main(argv=None):
     images, gts = keyframe_binary_pairs(output_root, database, dataset_name)
     print(f"Training binarizer on {len(images)} keyframe/GT pairs")
 
-    dataset = LectureNetDataset.from_config(config, images, gts,
-                                            reconstruction_mode=False)
+    dataset = LectureNetDataset.from_config(
+        config, images, gts, reconstruction_mode=False,
+        # reference train_02 defaults the text-region expansion to 10
+        # (lecturenet_train_02:104), so the text head always co-trains
+        text_mask_expansion=config.get(
+            "FCN_BINARIZER_TRAIN_TEXT_MASK_EXPANSION", 10))
     if config.get_bool("FCN_BINARIZER_PRETRAIN_PRELOAD_IMAGES", False):
         dataset.preload(verbose=True)
 

@@ -29,7 +29,11 @@ def main(argv=None):
     dataset = LectureNetDataset.from_config(
         config, images, masks, reconstruction_mode=False,
         reconstruct_median=config.get_bool("FCN_BINARIZER_PRETRAIN_REC_MEDIAN",
-                                           True))
+                                           True),
+        # reference train_01 always builds text-region masks (expansion 0
+        # when unconfigured, lecturenet_train_01:90)
+        text_mask_expansion=config.get(
+            "FCN_BINARIZER_TRAIN_TEXT_MASK_EXPANSION", 0))
     if config.get_bool("FCN_BINARIZER_PRETRAIN_PRELOAD_IMAGES", False):
         dataset.preload(verbose=True)
 

@@ -58,7 +58,10 @@ def phase_losses(phase: str, outputs, batch: Dict[str, jnp.ndarray],
     terms: Dict[str, jnp.ndarray] = {}
 
     if phase == "text_detector":
-        terms["text_bce"] = bce_with_logits(text_logits, batch["text_mask"],
+        # text head learns the RAW GT mask; binary head the eroded
+        # text-region mask (reference: lecturenet_train_01:171-182 —
+        # mask_loss uses `labels`, binary_loss uses `text_mask`)
+        terms["text_bce"] = bce_with_logits(text_logits, batch["target"],
                                             weights)
         terms["bin_bce"] = bce_with_logits(bin_logits, batch["text_mask"],
                                            weights)
