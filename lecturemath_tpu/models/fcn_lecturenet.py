@@ -150,13 +150,14 @@ class _NestedConvParams(nn.Module):
         return _ConvParams(self.shape, name="conv")()
 
 
-class _S2DUpBlock1(nn.Module):
-    """UpBlock computed in space-to-depth(2) domain for the full-res level:
+class _S2DUpBlock(nn.Module):
+    """UpBlock computed in space-to-depth(2) domain over ITS output grid:
     the stride-2 2x2 ConvTranspose is exactly one 1x1 conv (matmul) whose
     4*features output channels ARE the s2d(2) layout of the upsampled map —
     no input dilation, no relayout. GELU/concat/conv_block stay in s2d(2).
     Registers parameters identical to UpBlock (deconv + conv_block/conv;
-    BN-folded)."""
+    BN-folded). ``x`` is the lower level's output in normal layout;
+    ``skip_s`` the skip tensor pre-transformed to s2d(2)."""
     upsample_features: int
     conv_features: int
     kernel: int
@@ -437,9 +438,13 @@ class FCNLectureNet(nn.Module):
             x = UpBlock(cfg.upsample_filters[level - 1],
                         cfg.up_filters[level - 1], k, dtype=dt, fold_bn=True,
                         name=f"up_{level}")(x, skips[level - 1], False)
+        # (running up_2 in s2d(2) over its own grid was measured SLOWER —
+        # the k=3 remap's 4x structural-zero inflation outweighs the
+        # elementwise wins when the result still needs a depth-to-space;
+        # up_1 wins because its output feeds the s2d heads directly)
 
-        xup_s = _S2DUpBlock1(cfg.upsample_filters[0], cfg.up_filters[0], k,
-                             dtype=dt, name="up_1")(x, skip1_s)
+        xup_s = _S2DUpBlock(cfg.upsample_filters[0], cfg.up_filters[0], k,
+                            dtype=dt, name="up_1")(x, skip1_s)
 
         return self._s2d_domain_heads(cfg, x0_s, xup_s, block=2)
 
