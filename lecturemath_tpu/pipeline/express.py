@@ -44,26 +44,44 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
         source = VideoFrameSource(driver.video_paths(lecture), fps,
                                   lecture.forced_resolution)
 
+    min_recall = config.get_float("CC_STABILITY_MIN_RECALL", 0.925)
+    min_precision = config.get_float("CC_STABILITY_MIN_PRECISION", 0.925)
+    max_gap = config.get_int("CC_STABILITY_MAX_GAP", 85)
+    n_shards = config.get_int("CC_ANALYSIS_SHARDS", 0)
+
     tracker = None
     frame_times: list = []
     frame_indices: list = []
     compressed = [] if save_artifacts else None
+    shard_frames: list = [] if n_shards > 1 else None
     for times, indices, frames in binarizer.stream_source(source,
                                                           frames_limit):
-        if tracker is None:
+        if tracker is None and shard_frames is None:
             height, width = frames[0].shape
-            tracker = CCTracker(
-                width=width, height=height,
-                min_recall=config.get_float("CC_STABILITY_MIN_RECALL", 0.925),
-                min_precision=config.get_float("CC_STABILITY_MIN_PRECISION",
-                                               0.925),
-                max_gap=config.get_int("CC_STABILITY_MAX_GAP", 85))
+            tracker = CCTracker(width=width, height=height,
+                                min_recall=min_recall,
+                                min_precision=min_precision, max_gap=max_gap)
         frame_times.extend(times)
         frame_indices.extend(indices)
-        for frame in frames:
-            tracker.add_frame(frame)
+        if shard_frames is not None:
+            # sharded host tracking (CC_ANALYSIS_SHARDS>1): collect frames
+            # and track via the associative-merge path afterwards; loses
+            # the streaming overlap but scales stage 02 across workers
+            shard_frames.extend(frames)
+        else:
+            for frame in frames:
+                tracker.add_frame(frame)
         if save_artifacts:
             compressed.extend(compress_png(frames))
+
+    if shard_frames is not None:
+        from .cc_sharded import track_sharded
+
+        height, width = shard_frames[0].shape
+        tracker = track_sharded(
+            shard_frames, min_recall, min_precision, max_gap,
+            n_shards=n_shards,
+            n_workers=config.get_int("CC_ANALYSIS_WORKERS", 0))
 
     if save_artifacts:
         driver.store.save((frame_times, frame_indices, compressed),

@@ -144,3 +144,48 @@ def test_worker_process_path():
     sequential = _sequential(frames, 0.85, 0.85, 6)
     pooled = track_sharded(frames, 0.85, 0.85, 6, n_shards=4, n_workers=2)
     assert_trackers_equal(sequential, pooled)
+
+
+def test_express_honors_shards(tmp_path):
+    """CC_ANALYSIS_SHARDS in the express runner yields the same summary as
+    the streaming path (sharded tracking is bit-identical)."""
+    from test_e2e_pipeline import DB_XML
+    from lecturemath_tpu.pipeline.driver import PipelineDriver
+    from lecturemath_tpu.pipeline.express import run_lecture
+
+    frames, _, _ = synthetic_lecture(seed=12, n_frames=24, height=96,
+                                     width=128, n_boards=2,
+                                     glyphs_per_board=5, jitter=0.0)
+
+    class CleanBinarizer:
+        def stream_source(self, source, frames_limit=0, invert=True):
+            times = [1000.0 * t for t in range(len(frames))]
+            indices = [30 * t for t in range(len(frames))]
+            half = len(frames) // 2
+            yield times[:half], indices[:half], [f.copy() for f in frames[:half]]
+            yield times[half:], indices[half:], [f.copy() for f in frames[half:]]
+
+    (tmp_path / "db.xml").write_text(DB_XML)
+    base_conf = [
+        f"VIDEO_DATABASE_PATH = {tmp_path}/db.xml",
+        f"OUTPUT_PATH = {tmp_path}/output",
+        "CC_STABILITY_MIN_RECALL = 0.85",
+        "CC_STABILITY_MIN_PRECISION = 0.85",
+        "CC_STABILITY_MAX_GAP = 10",
+        "VIDEO_SEGMENTATION_DEL_EVENT_MIN_LENGTH = 3",
+        "VIDEO_SEGMENTATION_DEL_EVENT_ADD_THRESHOLD = 0.00005",
+        "VIDEO_SEGMENTATION_DEL_EVENT_THRESHOLD = 0.0008",
+    ]
+
+    def run(extra):
+        (tmp_path / "e.conf").write_text("\n".join(base_conf + extra))
+        driver = PipelineDriver.from_config_path(str(tmp_path / "e.conf"),
+                                                 [], None, None)
+        return run_lecture(driver, driver.database.lectures[0],
+                           CleanBinarizer(), export=False)
+
+    plain = run([])
+    sharded = run(["CC_ANALYSIS_SHARDS = 4"])
+    assert plain[0] == sharded[0] and plain[1] == sharded[1]
+    for a, b in zip(plain[2], sharded[2]):
+        np.testing.assert_array_equal(a, b)
