@@ -221,10 +221,13 @@ def measure_ours():
     binarizer, rgb, clean = build_workload()
 
     # warmup: compile the packed streaming forward (the only device
-    # computation the pipeline uses) and the native/tracking paths
+    # computation the pipeline uses), then one untimed full run so the
+    # native-lib build / cv2 / tracking first-import costs don't pollute
+    # the first timed run's breakdown
     import jax.numpy as jnp
 
     jax.block_until_ready(binarizer._packed_fn(jnp.asarray(rgb[:BATCH])))
+    run_pipeline(binarizer, rgb)
 
     runs = []
     breakdown = results = None

@@ -41,13 +41,23 @@ class MeshSpec:
 def parse_mesh_arg(text) -> MeshSpec:
     """Parse a user-facing mesh request: 'D', 'DxM', or 'auto' (all devices
     on the data axis). Used by the -mesh CLI flag and the TPU_MESH config
-    key."""
+    key. Raises a usage-style ValueError on malformed input (bare -mesh
+    flag, multiple tokens, non-numeric)."""
+    usage = (f"invalid mesh request {text!r}: expected 'D', 'DxM', or "
+             f"'auto' (e.g. -mesh 4x2)")
+    if isinstance(text, (bool, list, tuple)):
+        raise ValueError(usage)
     text = str(text).strip().lower()
     if text in ("auto", "all", "-1"):
         return MeshSpec()
     parts = text.split("x")
-    data = int(parts[0])
-    model = int(parts[1]) if len(parts) > 1 else 1
+    try:
+        data = int(parts[0])
+        model = int(parts[1]) if len(parts) > 1 else 1
+    except (ValueError, IndexError):
+        raise ValueError(usage) from None
+    if len(parts) > 2 or data < 1 or model < 1:
+        raise ValueError(usage)
     return MeshSpec(data=data, model=model)
 
 

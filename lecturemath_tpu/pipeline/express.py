@@ -77,7 +77,7 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
     if shard_frames is not None:
         from .cc_sharded import track_sharded
 
-        height, width = shard_frames[0].shape
+        height, width = shard_frames[0].shape  # also feeds st3d below
         tracker = track_sharded(
             shard_frames, min_recall, min_precision, max_gap,
             n_shards=n_shards,

@@ -97,16 +97,17 @@ def test_vectorized_faster_than_scan():
 
     check_equivalent_cc(*pairs[0], align, 3, 0.5, 0.5)  # warm imports
 
-    start = time.perf_counter()
-    for a, b in pairs:
-        check_equivalent_cc(a, b, align, 3, 0.5, 0.5)
-    fast = time.perf_counter() - start
+    def best_of(fn, reps=3):
+        timings = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            for a, b in pairs:
+                fn(a, b, align, 3, 0.5, 0.5)
+            timings.append(time.perf_counter() - start)
+        return min(timings)  # min is robust to contention on the 1-core VM
 
-    start = time.perf_counter()
-    for a, b in pairs:
-        check_equivalent_cc_scan(a, b, align, 3, 0.5, 0.5)
-    slow = time.perf_counter() - start
-
+    fast = best_of(check_equivalent_cc)
+    slow = best_of(check_equivalent_cc_scan)
     assert fast < slow, f"correlation path {fast:.4f}s not faster than scan {slow:.4f}s"
 
 
