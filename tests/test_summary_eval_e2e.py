@@ -184,3 +184,13 @@ def test_eval_consumes_generated_gt_tree(tmp_path):
     entry = metrics["all"][0]
     assert entry["recall_metrics"]["recall"] > 0.95
     assert entry["precision_metrics"]["precision"] > 0.95
+
+
+def test_eval_summaries_cli(workspace, capsys):
+    """The eval_summaries CLI end-to-end over the GT + summary trees
+    (reference equivalent: eval_multiple_summaries.py)."""
+    from lecturemath_tpu.cli.eval_summaries import main
+
+    main(["eval_summaries", str(workspace / "eval.conf")])
+    out = capsys.readouterr().out
+    assert "se01" in out and "Averages" in out and "Finished" in out
