@@ -77,6 +77,25 @@ def _run_binarize_cli(root, extra_args):
     return times, indices, decompress_png(compressed)
 
 
+def test_run_pipeline_cli_mesh_and_shards(workspace):
+    """Composition: express CLI with -mesh 4x2 AND sharded host tracking
+    produces a summary end-to-end on the virtual device mesh."""
+    import os
+
+    from lecturemath_tpu.cli.run_pipeline import main
+
+    conf = (workspace / "test.conf").read_text()
+    (workspace / "express.conf").write_text(
+        conf + "\nCC_ANALYSIS_SHARDS = 3\nCC_STABILITY_MAX_GAP = 10\n"
+        "VIDEO_SEGMENTATION_DEL_EVENT_MIN_LENGTH = 2\n")
+
+    main(["run_pipeline", str(workspace / "express.conf"),
+          "-mesh", "4x2"])
+    summary_dir = workspace / "output" / "summaries" / "SynthDB_synth01"
+    assert (summary_dir / "segments.xml").exists()
+    assert os.listdir(summary_dir / "keyframes")
+
+
 def test_cli_mesh_matches_single_device(workspace):
     base_times, base_indices, base_frames = _run_binarize_cli(workspace, [])
     assert len(base_frames) == 8
