@@ -120,3 +120,26 @@ def test_grouping_pipeline_parity(tracked):
     for mine, theirs_png in zip(clean_ours, clean_ref_png):
         theirs = cv2.imdecode(theirs_png, cv2.IMREAD_GRAYSCALE)
         np.testing.assert_array_equal(mine, theirs)
+
+
+def test_add_frame_non_binary_parity():
+    """add_frame(input_binary=False) classically binarizes first, matching
+    the reference's default path (cc_stability_estimator.py:40-47)."""
+    from lecturemath_tpu.utils.synthetic import synthetic_rgb_lecture
+
+    rgb, _, _, _ = synthetic_rgb_lecture(seed=13, n_frames=10, height=96,
+                                         width=128, n_boards=1,
+                                         glyphs_per_board=5)
+
+    ours = CCTracker(128, 96, MIN_RECALL, MIN_PRECISION, MAX_GAP)
+    ref = oracle_estimator(128, 96, MIN_RECALL, MIN_PRECISION, MAX_GAP)
+    for frame in rgb:
+        ours.add_frame(frame, input_binary=False)
+        ref.add_frame(frame, False)
+
+    assert len(ours.unique_ccs) == len(ref.unique_cc_objects)
+    for mine, theirs in zip(ours.unique_ccs, ref.unique_cc_objects):
+        assert (mine.min_x, mine.max_x, mine.min_y, mine.max_y, mine.size) \
+            == (theirs.min_x, theirs.max_x, theirs.min_y, theirs.max_y,
+                theirs.size)
+        np.testing.assert_array_equal(mine.img, theirs.img)
