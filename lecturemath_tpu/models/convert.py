@@ -98,6 +98,75 @@ def torch_state_dict_to_flax(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def flax_to_torch_state_dict(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of torch_state_dict_to_flax: flax variables -> a reference-
+    compatible state_dict (numpy tensors, reference checkpoint key names).
+    Lets models trained here run in the reference installation; round-trip
+    tested in tests/test_convert_parity.py."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(torch_name, tree):
+        sd[f"{torch_name}.weight"] = np.transpose(
+            np.asarray(tree["kernel"], np.float32), (3, 2, 0, 1))
+        sd[f"{torch_name}.bias"] = np.asarray(tree["bias"], np.float32)
+
+    def put_deconv(torch_name, tree):
+        # flax transpose_kernel kernels are (kh, kw, O, I) -> torch (I, O, kh, kw)
+        sd[f"{torch_name}.weight"] = np.transpose(
+            np.asarray(tree["kernel"], np.float32), (3, 2, 0, 1))
+        sd[f"{torch_name}.bias"] = np.asarray(tree["bias"], np.float32)
+
+    def put_bn(torch_name, p_bn, s_bn):
+        sd[f"{torch_name}.weight"] = np.asarray(p_bn["scale"], np.float32)
+        sd[f"{torch_name}.bias"] = np.asarray(p_bn["bias"], np.float32)
+        sd[f"{torch_name}.running_mean"] = np.asarray(s_bn["mean"], np.float32)
+        sd[f"{torch_name}.running_var"] = np.asarray(s_bn["var"], np.float32)
+        sd[f"{torch_name}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    for i in range(1, 6):
+        put_conv(f"conv_down_block_{i}.0", params[f"down_{i}"]["conv"])
+        put_bn(f"conv_down_block_{i}.1", params[f"down_{i}"]["bn"],
+               stats[f"down_{i}"]["bn"])
+    put_conv("mid_block.0", params["mid"]["conv"])
+    put_bn("mid_block.1", params["mid"]["bn"], stats["mid"]["bn"])
+
+    for i in range(1, 6):
+        put_deconv(f"transposed_conv_{i}", params[f"up_{i}"]["deconv"])
+        put_bn(f"upsample_block_{i}.0", params[f"up_{i}"]["bn"],
+               stats[f"up_{i}"]["bn"])
+        put_conv(f"conv_up_block_{i}.0", params[f"up_{i}"]["conv_block"]["conv"])
+        put_bn(f"conv_up_block_{i}.1", params[f"up_{i}"]["conv_block"]["bn"],
+               stats[f"up_{i}"]["conv_block"]["bn"])
+
+    for flax_name, torch_name in (("pixels_1", "conv_pixels_1"),
+                                  ("pixels_2", "conv_pixels_2")):
+        put_conv(f"{torch_name}.0", params[flax_name]["conv"])
+        put_bn(f"{torch_name}.1", params[flax_name]["bn"],
+               stats[flax_name]["bn"])
+
+    for conv_name, bn_name, torch_name in (("out_conv", "out_bn", "conv_out"),
+                                           ("text_conv", "text_bn",
+                                            "conv_text_mask_out"),
+                                           ("rec_conv", "rec_bn",
+                                            "conv_reconstruct")):
+        put_conv(f"{torch_name}.0", params[conv_name])
+        put_bn(f"{torch_name}.1", params[bn_name], stats[bn_name])
+
+    return sd
+
+
+def save_torch_checkpoint(variables: Dict[str, Any], path: str) -> None:
+    """torch.save a reference-compatible checkpoint of flax variables."""
+    import torch
+
+    sd = {key: (torch.from_numpy(np.ascontiguousarray(value))
+                if np.ndim(value) else torch.tensor(value))
+          for key, value in flax_to_torch_state_dict(variables).items()}
+    torch.save(sd, path)
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a torch .dat/.pth checkpoint file into flax variables.
 

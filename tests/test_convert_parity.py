@@ -136,6 +136,29 @@ def test_binarize_parity_halving_path(converted_pair):
     assert _binary_mismatch_fraction(binaries[0], t_bin) < 0.002
 
 
+def test_flax_to_torch_roundtrip(converted_pair, tmp_path):
+    """Export flax variables back to a reference-loadable state_dict: the
+    reference net loads it (strict) and produces the same forward."""
+    from lecturemath_tpu.models.convert import save_torch_checkpoint
+
+    net, model, variables = converted_pair
+    path = tmp_path / "exported.dat"
+    save_torch_checkpoint(variables, str(path))
+
+    reloaded = _build_torch_net(TINY, seed=99)  # different init
+    state = torch.load(str(path), map_location="cpu", weights_only=True)
+    reloaded.load_state_dict(state, strict=True)
+    reloaded.eval()
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1.0, 1.0, (1, 32, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        a = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        b = reloaded(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for ta, tb in zip(a, b):
+        np.testing.assert_allclose(tb.numpy(), ta.numpy(), atol=1e-6)
+
+
 def test_checkpoint_file_roundtrip(converted_pair, tmp_path):
     """torch.save(state_dict) -> load_torch_checkpoint == direct conversion
     (covers the file-level loader used by Binarizer.from_config)."""
