@@ -160,7 +160,14 @@ class Binarizer:
         model_dir = config.get_str("BINARIZATION_FCN_LECTURENET_DIR", "models")
         model_file = config.get_str("BINARIZATION_FCN_LECTURENET_FILENAME",
                                     "LectureNet_model_BIN.dat")
-        path = os.path.join(model_dir, model_file)
+        # the reference resolves the model dir under OUTPUT_PATH
+        # (pre_ST3D_v3.0_01_binarize.py:24-26); an absolute model dir wins
+        # either way because os.path.join discards earlier components then
+        output_path = config.get_str("OUTPUT_PATH", "")
+        candidates = [os.path.join(output_path, model_dir, model_file),
+                      os.path.join(model_dir, model_file)]
+        path = next((p for p in candidates if os.path.exists(p)),
+                    candidates[0])
 
         if os.path.exists(path):
             variables = load_checkpoint_variables(path)

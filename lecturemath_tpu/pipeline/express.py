@@ -41,8 +41,9 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
         binarizer = Binarizer.from_config(config)
     if source is None:
         fps = config.get_float("SAMPLING_FPS", 1.0)
-        source = VideoFrameSource(driver.video_paths(lecture), fps,
-                                  lecture.forced_resolution)
+        source = VideoFrameSource(
+            driver.video_paths(lecture), fps, lecture.forced_resolution,
+            alignment=config.get_str("SAMPLING_ALIGNMENT", "start"))
 
     min_recall = config.get_float("CC_STABILITY_MIN_RECALL", 0.925)
     min_precision = config.get_float("CC_STABILITY_MIN_PRECISION", 0.925)

@@ -109,7 +109,9 @@ def close_interval_gaps(st3d: SpaceTimeStruct,
     summary_times = []
 
     last_start = 0
-    last_time_start = 0.0
+    # int 0, not 0.0: the first AbsTimeStart prints as "0" in the reference
+    # XML (pre_ST3D_v3.0_05:43 initializes last_time_start = 0)
+    last_time_start = 0
     for pos, (seg_start, seg_end) in enumerate(video_segments):
         frame_end = st3d.frame_indices[seg_end]
         time_end = st3d.frame_times[seg_end]

@@ -39,8 +39,9 @@ def stage01_binarize(driver: PipelineDriver, lecture: LectureInfo,
         binarizer = Binarizer.from_config(driver.config)
 
     fps = driver.config.get_float("SAMPLING_FPS", 1.0)
-    source = VideoFrameSource(driver.video_paths(lecture), fps,
-                              lecture.forced_resolution)
+    source = VideoFrameSource(
+        driver.video_paths(lecture), fps, lecture.forced_resolution,
+        alignment=driver.config.get_str("SAMPLING_ALIGNMENT", "start"))
     times, indices, binaries = binarizer.process_source(source, frames_limit)
     return times, indices, compress_png(binaries)
 

@@ -34,15 +34,32 @@ class VideoFrameSource:
     'seek' jumps with CAP_PROP_POS_FRAMES; 'auto' times both on the first
     two samples and keeps the faster (the reference VideoProcessor's
     adaptive strategy, video_processor.py:100-146).
+
+    ``alignment``: 'start' (default) samples the first frame of each
+    sampling period (content frame k*step, reported with its own index and
+    time). 'reference' replicates the reference VideoProcessor's accounting
+    bit-for-bit (video_processor.py:40,124-166): the grab loop decodes
+    jump_frames-1 then reads, so the content frame is (k+1)*step-1 while the
+    reported index is CAP_PROP_POS_FRAMES after the read — (k+1)*step —
+    while the reported time is CAP_PROP_POS_MSEC, which names the DECODED
+    frame (one frame earlier); step uses int() truncation
+    (int(video_fps/fps), video_processor.py:97) rather than rounding; and
+    the very first sample of the run is consumed as ``last_frame`` without
+    being handled (offset_frame starts at -1 and workers only see frames
+    once it is > 0, video_processor.py:40,168-171), so it is dropped here.
+    Configure via the SAMPLING_ALIGNMENT config key on the pipeline CLIs.
     """
 
     def __init__(self, video_paths: Sequence[str], sampling_fps: float,
                  forced_resolution: Optional[Tuple[int, int]] = None,
-                 seek_strategy: str = "auto"):
+                 seek_strategy: str = "auto", alignment: str = "start"):
         self.video_paths = list(video_paths)
         self.sampling_fps = sampling_fps
         self.forced_resolution = forced_resolution  # (width, height)
         self.seek_strategy = seek_strategy
+        if alignment not in ("start", "reference"):
+            raise ValueError(f"unknown sampling alignment: {alignment!r}")
+        self.alignment = alignment
 
     def _post(self, frame: np.ndarray) -> np.ndarray:
         import cv2
@@ -61,6 +78,9 @@ class VideoFrameSource:
         abs_index_offset = 0
         abs_time_offset = 0.0
         emitted = 0
+        # reference mode: the first sample only primes last_frame
+        # (video_processor.py:40,168-171) — drop it
+        skip_first = self.alignment == "reference"
         strategy = self.seek_strategy
 
         for path in self.video_paths:
@@ -68,20 +88,35 @@ class VideoFrameSource:
             if not capture.isOpened():
                 raise IOError(f"cannot open video: {path}")
             video_fps = capture.get(cv2.CAP_PROP_FPS) or 30.0
-            step = max(1, int(round(video_fps / self.sampling_fps)))
+            if self.alignment == "reference":
+                # reference truncates: jump_frames = int(video_fps / fps)
+                step = max(1, int(video_fps / self.sampling_fps))
+                # content frame (k+1)*step-1 reported as index (k+1)*step
+                phase, report_shift = step - 1, 1
+            else:
+                step = max(1, int(round(video_fps / self.sampling_fps)))
+                phase, report_shift = 0, 0
             n_frames = int(capture.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
 
             if strategy == "auto" and step > 1 and n_frames > 2 * step:
                 strategy = self._pick_strategy(capture, step)
 
             if strategy == "seek" and n_frames > 0:
-                for frame_idx in range(0, n_frames, step):
+                for frame_idx in range(phase, n_frames, step):
                     capture.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
                     ok, frame = capture.read()
                     if not ok:
                         break
+                    if skip_first:
+                        skip_first = False
+                        continue
+                    # the reported index follows CAP_PROP_POS_FRAMES (the
+                    # NEXT frame) in reference mode, but the reported time
+                    # follows CAP_PROP_POS_MSEC (the DECODED frame) — they
+                    # are offset by one frame in the reference artifact
+                    report = frame_idx + report_shift
                     abs_time = abs_time_offset + (frame_idx / video_fps) * 1000.0
-                    yield abs_time, abs_index_offset + frame_idx, self._post(frame)
+                    yield abs_time, abs_index_offset + report, self._post(frame)
                     emitted += 1
                     if frames_limit and emitted >= frames_limit:
                         capture.release()
@@ -93,12 +128,19 @@ class VideoFrameSource:
                     grabbed = capture.grab()
                     if not grabbed:
                         break
-                    if frame_idx % step == 0:
+                    if frame_idx % step == phase:
                         ok, frame = capture.retrieve()
                         if not ok:
                             break
+                        if skip_first:
+                            skip_first = False
+                            frame_idx += 1
+                            continue
+                        # index follows POS_FRAMES (next frame), time follows
+                        # POS_MSEC (decoded frame) — see seek branch note
+                        report = frame_idx + report_shift
                         abs_time = abs_time_offset + (frame_idx / video_fps) * 1000.0
-                        yield abs_time, abs_index_offset + frame_idx, self._post(frame)
+                        yield abs_time, abs_index_offset + report, self._post(frame)
                         emitted += 1
                         if frames_limit and emitted >= frames_limit:
                             capture.release()
