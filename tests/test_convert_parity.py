@@ -159,6 +159,50 @@ def test_flax_to_torch_roundtrip(converted_pair, tmp_path):
         np.testing.assert_allclose(tb.numpy(), ta.numpy(), atol=1e-6)
 
 
+@pytest.mark.slow
+def test_forward_parity_production_widths():
+    """Converter parity at the widths users actually run (48..768, the
+    released-model architecture): the reference torch net at production
+    capacity, converted, must match our fp32 forward on a small image and
+    agree through binarize(). Toy-width parity does not imply this — BN
+    statistic magnitudes, padding interactions, and accumulation order all
+    change with width (VERDICT r2 item 4)."""
+    from PIL import Image
+
+    prod = FCNConfig()  # production widths 48..768, pixel head k=7
+    net = _build_torch_net(prod)
+    variables = torch_state_dict_to_flax(net.state_dict())
+    model = FCNLectureNet(prod, dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1.0, 1.0, (1, 128, 192, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        t_bin, t_text, t_rec = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    t_bin = t_bin.numpy().transpose(0, 2, 3, 1)
+    t_text = t_text.numpy().transpose(0, 2, 3, 1)
+    t_rec = t_rec.numpy().transpose(0, 2, 3, 1)
+
+    forward = jax.jit(lambda v, img: model.apply(v, img, train=False))
+    j_bin, j_text, j_rec = forward(variables, jnp.asarray(x))
+
+    # rec is bounded by tanh; bin/text logits are spread by the fill_(25)
+    # head (magnitudes O(100) at 768-ch accumulation) -> relative tolerance
+    np.testing.assert_allclose(np.asarray(j_rec), t_rec, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_text), t_text,
+                               rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(j_bin), t_bin,
+                               rtol=1e-3, atol=5e-2)
+
+    # full binarize() entry (prepare_image, sigmoid, threshold@128)
+    rgb = rng.integers(0, 256, (160, 224, 3), dtype=np.uint8)
+    t_binary = net.binarize(Image.fromarray(rgb), force_binary=True)
+    binarize = make_binarizer(model, variables, force_binary=True)
+    j_binary, _, _ = binarize(jnp.asarray(rgb[None]))
+    assert _binary_mismatch_fraction(np.asarray(j_binary[0]),
+                                     t_binary) < 0.002
+
+
 def test_checkpoint_file_roundtrip(converted_pair, tmp_path):
     """torch.save(state_dict) -> load_torch_checkpoint == direct conversion
     (covers the file-level loader used by Binarizer.from_config)."""
