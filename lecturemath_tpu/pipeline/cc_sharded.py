@@ -134,6 +134,60 @@ def _adopt_frame(left: CCTracker, frame: List[Tuple[int, CC]],
 
 # --------------------------------------------------------------- frontends
 
+class StreamingShardedTracker:
+    """Streaming sharded tracking for the express runner: each drained
+    device batch becomes its own shard, extracted + locally tracked
+    (optionally on worker processes) while later batches are still in
+    flight, with completed shards fold-merged incrementally and in order.
+
+    Shard-count invariance (merge_trackers is associative and exact) means
+    batch-granular shards give the same bit-identical tracker as equal
+    splits or sequential tracking — so streaming costs nothing in fidelity
+    and keeps express wall-clock ≈ max(device binarize, host track /
+    n_workers) instead of buffering the whole lecture before tracking
+    starts."""
+
+    def __init__(self, width: int, height: int, min_recall: float,
+                 min_precision: float, max_gap: int, n_workers: int = 0):
+        self.params = (width, height, min_recall, min_precision, max_gap)
+        self._pool = None
+        if n_workers > 1:
+            from concurrent.futures import ProcessPoolExecutor
+
+            self._pool = ProcessPoolExecutor(max_workers=n_workers)
+        self._futures: list = []  # submission order == frame order
+        self._merged: Optional[CCTracker] = None
+
+    def add_frames(self, frames: Sequence[np.ndarray]) -> None:
+        if not len(frames):
+            return
+        work = (list(frames),) + self.params
+        if self._pool is not None:
+            self._futures.append(self._pool.submit(_shard_worker, work))
+            # opportunistically fold finished prefix shards (cheap: adopt
+            # fast path) so finish() isn't one big serial merge
+            while self._futures and self._futures[0].done():
+                self._merge(self._futures.pop(0).result())
+        else:
+            self._merge(_shard_worker(work))
+
+    def _merge(self, tracker: CCTracker) -> None:
+        self._merged = tracker if self._merged is None else \
+            merge_trackers(self._merged, tracker)
+
+    def finish(self) -> CCTracker:
+        while self._futures:
+            self._merge(self._futures.pop(0).result())
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+        if self._merged is None:
+            width, height, min_recall, min_precision, max_gap = self.params
+            self._merged = CCTracker(width, height, min_recall,
+                                     min_precision, max_gap)
+        return self._merged
+
+
 def _shard_worker(args):
     binaries, width, height, min_recall, min_precision, max_gap = args
     ccs_per_frame = [extract_ccs(frame) for frame in binaries]

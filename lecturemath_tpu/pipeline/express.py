@@ -51,38 +51,42 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
     n_shards = config.get_int("CC_ANALYSIS_SHARDS", 0)
 
     tracker = None
+    sharded = None
     frame_times: list = []
     frame_indices: list = []
     compressed = [] if save_artifacts else None
-    shard_frames: list = [] if n_shards > 1 else None
     for times, indices, frames in binarizer.stream_source(source,
                                                           frames_limit):
-        if tracker is None and shard_frames is None:
+        if tracker is None and sharded is None:
             height, width = frames[0].shape
-            tracker = CCTracker(width=width, height=height,
-                                min_recall=min_recall,
-                                min_precision=min_precision, max_gap=max_gap)
+            if n_shards > 1:
+                # sharded host tracking (CC_ANALYSIS_SHARDS>1): each drained
+                # batch is a shard, dispatched (to CC_ANALYSIS_WORKERS
+                # processes when >1) while later batches are in flight and
+                # fold-merged in order — streaming overlap is kept, results
+                # are bit-identical to sequential tracking
+                from .cc_sharded import StreamingShardedTracker
+
+                sharded = StreamingShardedTracker(
+                    width, height, min_recall, min_precision, max_gap,
+                    n_workers=config.get_int("CC_ANALYSIS_WORKERS", 0))
+            else:
+                tracker = CCTracker(width=width, height=height,
+                                    min_recall=min_recall,
+                                    min_precision=min_precision,
+                                    max_gap=max_gap)
         frame_times.extend(times)
         frame_indices.extend(indices)
-        if shard_frames is not None:
-            # sharded host tracking (CC_ANALYSIS_SHARDS>1): collect frames
-            # and track via the associative-merge path afterwards; loses
-            # the streaming overlap but scales stage 02 across workers
-            shard_frames.extend(frames)
+        if sharded is not None:
+            sharded.add_frames(frames)
         else:
             for frame in frames:
                 tracker.add_frame(frame)
         if save_artifacts:
             compressed.extend(compress_png(frames))
 
-    if shard_frames is not None:
-        from .cc_sharded import track_sharded
-
-        height, width = shard_frames[0].shape  # also feeds st3d below
-        tracker = track_sharded(
-            shard_frames, min_recall, min_precision, max_gap,
-            n_shards=n_shards,
-            n_workers=config.get_int("CC_ANALYSIS_WORKERS", 0))
+    if sharded is not None:
+        tracker = sharded.finish()
 
     if save_artifacts:
         driver.store.save((frame_times, frame_indices, compressed),

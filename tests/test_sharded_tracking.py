@@ -189,3 +189,28 @@ def test_express_honors_shards(tmp_path):
     assert plain[0] == sharded[0] and plain[1] == sharded[1]
     for a, b in zip(plain[2], sharded[2]):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("n_workers", [0, 2])
+def test_streaming_sharded_tracker(n_workers):
+    """StreamingShardedTracker (shard per drained batch, incremental merge,
+    optional worker pool) is bit-identical to sequential tracking."""
+    from lecturemath_tpu.pipeline.cc_sharded import StreamingShardedTracker
+
+    frames, _, _ = synthetic_lecture(seed=7, n_frames=40, height=96,
+                                     width=128, n_boards=2,
+                                     glyphs_per_board=5, jitter=0.03)
+    sequential = _sequential(frames, 0.85, 0.85, 8)
+
+    streaming = StreamingShardedTracker(128, 96, 0.85, 0.85, 8,
+                                        n_workers=n_workers)
+    for start in range(0, len(frames), 7):  # uneven batch granularity
+        streaming.add_frames(list(frames[start:start + 7]))
+    assert_trackers_equal(sequential, streaming.finish())
+
+
+def test_streaming_sharded_tracker_empty():
+    from lecturemath_tpu.pipeline.cc_sharded import StreamingShardedTracker
+
+    tracker = StreamingShardedTracker(128, 96, 0.85, 0.85, 8).finish()
+    assert tracker.img_idx == 0 and not tracker.unique_ccs
