@@ -111,3 +111,33 @@ def test_sharded_binarizer(shard_model):
     out_small = binarizer.binarize_frames(frames[:5])
     assert out_small.shape == (5, 32, 32)
     np.testing.assert_array_equal(out_small, out[:5])
+
+
+@pytest.mark.slow
+def test_production_width_tensor_parallel_step():
+    """dp x tp train step at the REAL channel widths (48..768) on the
+    virtual 8-device mesh: validates pspec/divisibility behavior at the
+    widths a pod would run (VERDICT r2 item 7). Tiny spatial dims keep the
+    compile cheap; the compile cache makes re-runs fast."""
+    import numpy as np
+
+    from lecturemath_tpu.models.fcn_lecturenet import FCNConfig, FCNLectureNet
+    from lecturemath_tpu.parallel.mesh import MeshSpec, make_mesh
+    from lecturemath_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(MeshSpec(data=4, model=2), devices=jax.devices()[:8])
+    model = FCNLectureNet(FCNConfig())  # production 48..768
+    trainer = Trainer(model, learning_rate=1e-3, phase="binarizer", mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+
+    # the 768-ch mid kernel must actually shard over 'model'
+    assert "model" in state.params["mid"]["conv"]["kernel"].sharding.spec
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32),
+        "target": (rng.random((4, 32, 32, 1)) > 0.5).astype(np.float32),
+        "text_mask": (rng.random((4, 32, 32, 1)) > 0.5).astype(np.float32),
+    }
+    state, metrics = trainer.step(state, batch)
+    assert np.isfinite(float(jax.device_get(metrics["total"])))
