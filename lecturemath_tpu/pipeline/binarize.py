@@ -202,6 +202,8 @@ class Binarizer:
         Consumers doing host work between batches (CC tracking, PNG encode)
         overlap it with device compute — express wall-clock approaches
         max(host, device) instead of their sum."""
+        import time
+
         from ..models.fcn_lecturenet import unpack_bits_host
 
         first = None
@@ -209,6 +211,12 @@ class Binarizer:
         full_size = None
         use_packed = self._packed_fn is not None
         pending = []  # (device_result, batch) — drained behind for overlap
+        # per-phase wall accounting for the last stream (observability:
+        # where stage-01 time goes — host decode/batch, upload+dispatch,
+        # result download+unpack). Read via self.stream_stats after a run.
+        stats = self.stream_stats = {"source_s": 0.0, "dispatch_s": 0.0,
+                                     "drain_s": 0.0, "downscale_s": 0.0}
+        pc = time.perf_counter
 
         def drain(entry):
             device_binary, batch = entry
@@ -227,7 +235,13 @@ class Binarizer:
                 frames.append(img)
             return batch.times, batch.indices, frames
 
-        for batch in self._batched(source, frames_limit):
+        batches = self._batched(source, frames_limit)
+        while True:
+            t0 = pc()
+            batch = next(batches, None)
+            stats["source_s"] += pc() - t0
+            if batch is None:
+                break
             if first is None:
                 first = batch
                 h, w = batch.frames.shape[1:3]
@@ -236,18 +250,28 @@ class Binarizer:
 
             frames = batch.frames
             if model_size != full_size:
+                t0 = pc()
                 frames = _downscale_batch(frames, model_size)
+                stats["downscale_s"] += pc() - t0
 
+            t0 = pc()
             if use_packed:
                 device_binary = self._packed_fn(self._to_device(frames))
             else:
                 device_binary, _, _ = self._binarize_fn(self._to_device(frames))
+            stats["dispatch_s"] += pc() - t0
             pending.append((device_binary, batch))
             if len(pending) > self.pipeline_depth:
-                yield drain(pending.pop(0))
+                t0 = pc()
+                out = drain(pending.pop(0))
+                stats["drain_s"] += pc() - t0
+                yield out
 
         for entry in pending:
-            yield drain(entry)
+            t0 = pc()
+            out = drain(entry)
+            stats["drain_s"] += pc() - t0
+            yield out
 
     def process_source(self, source: VideoFrameSource, frames_limit: int = 0,
                        invert: bool = True):

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -164,7 +165,10 @@ class Trainer:
 def make_train_step(model: FCNLectureNet, optimizer, phase: str,
                     use_weights: bool = False,
                     freeze_bn: bool = False) -> Callable:
-    @jax.jit
+    # donate the incoming state: params/opt buffers are consumed by the
+    # update, so XLA reuses them in place instead of holding two copies
+    # (matters at production widths — ~190MB of fp32 state per extra copy)
+    @partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, batch):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

@@ -114,13 +114,17 @@ def test_freeze_bn_keeps_stats(image_files):
 
     dataset = make_dataset(images, gts, crop_size=(32, 32), seed=1)
     batch = next(dataset.batches(2, shuffle=False))
+    # snapshot BEFORE stepping: the train step donates the incoming state's
+    # buffers (trainer.py make_train_step), so they are unusable afterwards
     before = np.asarray(state.batch_stats["down_1"]["bn"]["mean"])
+    kernel_before = np.asarray(state.params["down_1"]["conv"]["kernel"])
     new_state, _ = trainer.step(state, batch)
     after = np.asarray(new_state.batch_stats["down_1"]["bn"]["mean"])
     np.testing.assert_array_equal(before, after)
     # params still train
-    assert not np.allclose(np.asarray(state.params["down_1"]["conv"]["kernel"]),
-                           np.asarray(new_state.params["down_1"]["conv"]["kernel"]))
+    assert not np.allclose(
+        kernel_before,
+        np.asarray(new_state.params["down_1"]["conv"]["kernel"]))
 
 
 def test_reset_main_branches():
