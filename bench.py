@@ -198,6 +198,15 @@ def _fetch_barrier(array) -> float:
     return float(jax.device_get(jnp.sum(array, dtype=jnp.float32)))
 
 
+def to_upload(binarizer, frames):
+    """Convert RGB frames to the binarizer's upload format (host side)."""
+    if getattr(binarizer, "upload_format", "rgb") == "yuv420":
+        from lecturemath_tpu.models.fcn_lecturenet import rgb_to_yuv420_host
+
+        return rgb_to_yuv420_host(frames)
+    return frames
+
+
 def measure_device_forward(binarizer, rgb, n_batches: int = 9):
     """Device-only packed forward fps on HBM-resident input.
 
@@ -212,7 +221,7 @@ def measure_device_forward(binarizer, rgb, n_batches: int = 9):
     frames = rgb[:size]
     if len(frames) < size:
         frames = np.concatenate([frames] * (-(-size // len(frames))))[:size]
-    batch = jax.device_put(jnp.asarray(frames))
+    batch = jax.device_put(jnp.asarray(to_upload(binarizer, frames)))
     fn = binarizer._packed_fn
 
     def timed(n):
@@ -246,10 +255,10 @@ def probe_link(binarizer, rgb):
     float(jax.device_get(resident))
     rtt_s = pc() - start
 
-    batch = rgb[:binarizer.batch_size]
+    batch = to_upload(binarizer, rgb[:binarizer.batch_size])
     start = pc()
     device_batch = jax.device_put(jnp.asarray(batch))
-    _fetch_barrier(device_batch[:, ::16, ::16, :])  # cheap reduce, real sync
+    _fetch_barrier(device_batch[:, ::16, ::16])  # cheap reduce, real sync
     up_s = max(pc() - start - rtt_s, 1e-9)
 
     packed = binarizer._packed_fn(device_batch)
@@ -280,7 +289,8 @@ def measure_ours():
     # the first timed run's breakdown
     import jax.numpy as jnp
 
-    _fetch_barrier(binarizer._packed_fn(jnp.asarray(rgb[:BATCH])))
+    _fetch_barrier(binarizer._packed_fn(
+        jnp.asarray(to_upload(binarizer, rgb[:BATCH]))))
     run_pipeline(binarizer, rgb)
 
     # device-only compute rate first: it feeds the per-run overlap model
@@ -300,10 +310,12 @@ def measure_ours():
         # the wall should approach the SLOWEST lane, plus the pipeline-fill
         # latency of the first batch; the residual names what is unexplained
         track_s = breakdown["stage02_track_host_s"]
-        up_total = rgb.nbytes / (up_mbps * 1e6)
+        bytes_per_px = 1.5 if binarizer.upload_format == "yuv420" else 3.0
+        up_bytes = FRAMES * HEIGHT * WIDTH * bytes_per_px
+        up_total = up_bytes / (up_mbps * 1e6)
         compute_total = FRAMES / device_fps
         down_total = packed_bytes / (down_mbps * 1e6)
-        startup = (BATCH * HEIGHT * WIDTH * 3) / (up_mbps * 1e6) \
+        startup = (BATCH * HEIGHT * WIDTH * bytes_per_px) / (up_mbps * 1e6) \
             + BATCH / device_fps + rtt_s
         predicted = max(up_total, compute_total, down_total + track_s) \
             + startup
@@ -366,8 +378,11 @@ def measure_ours():
         # rig that link is a remote tunnel (~10-40 MB/s, variable), so the
         # e2e number is transfer-bound and noisy — per_run_accounting
         # records the link each run saw and the overlap model's residual
+        "upload_format": binarizer.upload_format,
         "transfer_mb": {
-            "rgb_up": round(rgb.nbytes / 1e6, 1),
+            "frames_up": round(FRAMES * HEIGHT * WIDTH *
+                               (1.5 if binarizer.upload_format == "yuv420"
+                                else 3.0) / 1e6, 1),
             "packed_down": round(packed_bytes / 1e6, 1),
         },
         "per_run_accounting": accounting,

@@ -671,13 +671,62 @@ def pack_bits(binary: jnp.ndarray) -> jnp.ndarray:
     return (bits * weights).sum(axis=-1, dtype=jnp.uint8)
 
 
+def yuv420_to_rgb(planes: jnp.ndarray) -> jnp.ndarray:
+    """uint8 I420 planes [B, H*3/2, W] -> uint8 RGB [B, H, W, 3].
+
+    Device-side inverse of cv2.COLOR_RGB2YUV_I420 (BT.601 video range, 2x2
+    chroma replication like OpenCV's YUV2RGB_I420) — lets the host ship
+    1.5 bytes/px instead of 3 over the (often bandwidth-bound) host->device
+    link. Video codecs store 4:2:0 anyway, so the chroma subsample loses
+    nothing the decoder had."""
+    batch, ht, width = planes.shape
+    height = ht * 2 // 3
+    y = planes[:, :height, :].astype(jnp.float32)
+    quarter = height // 4
+    u = planes[:, height:height + quarter, :].reshape(
+        batch, height // 2, width // 2).astype(jnp.float32)
+    v = planes[:, height + quarter:, :].reshape(
+        batch, height // 2, width // 2).astype(jnp.float32)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
+
+    # OpenCV ITUR_BT_601 inverse coefficients (modules/imgproc color_yuv)
+    yv = (y - 16.0) * 1.1643835616438356
+    r = yv + 1.5960267857142858 * v
+    g = yv - 0.8129676472377708 * v - 0.39176229009491365 * u
+    b = yv + 2.017232142857143 * u
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
+
+
+def rgb_to_yuv420_host(frames: "np.ndarray") -> "np.ndarray":
+    """uint8 RGB [B, H, W, 3] -> uint8 I420 planes [B, H*3/2, W] (host,
+    cv2). H and W must be even."""
+    import cv2
+    import numpy as np
+
+    frames = np.asarray(frames)
+    out = np.empty((frames.shape[0], frames.shape[1] * 3 // 2,
+                    frames.shape[2]), np.uint8)
+    for k in range(frames.shape[0]):
+        out[k] = cv2.cvtColor(frames[k], cv2.COLOR_RGB2YUV_I420)
+    return out
+
+
 def make_packed_binarizer(model: FCNLectureNet, variables,
-                          threshold: int = 128):
+                          threshold: int = 128, input_format: str = "rgb"):
     """Like make_binarizer(force_binary=True) but returns only the packed
-    binary bitmap; unpack host-side with np.unpackbits."""
+    binary bitmap; unpack host-side with np.unpackbits.
+
+    ``input_format='yuv420'`` takes uint8 I420 planes [B, H*3/2, W] and
+    reconstructs RGB on device (half the upload bytes of RGB)."""
 
     @jax.jit
-    def binarize(rgb_uint8):
+    def binarize(frames_uint8):
+        if input_format == "yuv420":
+            rgb_uint8 = yuv420_to_rgb(frames_uint8)
+        else:
+            rgb_uint8 = frames_uint8
         x = prepare_images(rgb_uint8)
         x, (h, w) = pad_to_multiple(x)
         bin_logits, _, _ = model.apply(variables, x, train=False)

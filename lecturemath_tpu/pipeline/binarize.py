@@ -82,7 +82,8 @@ class Binarizer:
     def __init__(self, model: FCNLectureNet, variables,
                  batch_size: Optional[int] = None, force_binary: bool = True,
                  threshold: int = 128, pipeline_depth: int = 2, mesh=None,
-                 fold_bn: bool = True, s2d_heads: bool = True):
+                 fold_bn: bool = True, s2d_heads: bool = True,
+                 upload_format: str = "auto"):
         """``mesh`` (jax.sharding.Mesh with 'data'/'model' axes) shards the
         frame axis across chips — params replicate (or channel-shard over
         'model' when that axis is >1) and GSPMD inserts the collectives.
@@ -92,7 +93,14 @@ class Binarizer:
         for inference (models.fcn_lecturenet.fold_batch_norms).
         ``s2d_heads`` (default): compute the narrow full-res head convs in
         space-to-depth domain (same math, less MXU lane padding). Both are
-        numerically equivalent graph rewrites of the same parameters."""
+        numerically equivalent graph rewrites of the same parameters.
+
+        ``upload_format``: 'rgb' ships raw uint8 RGB to the device;
+        'yuv420' converts to I420 planes on host and reconstructs RGB on
+        device (half the upload bytes — what the video codec stored
+        anyway; differs from the RGB path only by BT.601 chroma rounding).
+        'auto' picks yuv420 behind a remote transfer tunnel where stage 01
+        is upload-bandwidth-bound, rgb otherwise. Config: UPLOAD_FORMAT."""
         want_fold = fold_bn and not model.fold_bn and "batch_stats" in variables
         want_s2d = s2d_heads and not model.s2d_heads
         if want_fold or want_s2d:
@@ -138,13 +146,19 @@ class Binarizer:
                                            threshold=threshold)
         # streaming stage-01 path: binary-only output packed to a bitmap on
         # device (8x smaller host download, the tunnel/PCIe bottleneck)
+        if upload_format == "auto":
+            upload_format = "yuv420" if (force_binary and
+                                         remote_device_link()) else "rgb"
+        self.upload_format = upload_format
         if force_binary:
             from ..models.fcn_lecturenet import make_packed_binarizer
 
-            self._packed_fn = make_packed_binarizer(model, variables,
-                                                    threshold=threshold)
+            self._packed_fn = make_packed_binarizer(
+                model, variables, threshold=threshold,
+                input_format=upload_format)
         else:
             self._packed_fn = None
+            self.upload_format = "rgb"  # full-output path stays RGB
 
     @classmethod
     def from_config(cls, config: Config, allow_random: bool = False,
@@ -156,6 +170,8 @@ class Binarizer:
 
         net_config = FCNConfig.from_config(config)
         model = FCNLectureNet(net_config, dtype=dtype)
+        kwargs.setdefault("upload_format",
+                          config.get_str("UPLOAD_FORMAT", "auto"))
 
         model_dir = config.get_str("BINARIZATION_FCN_LECTURENET_DIR", "models")
         model_file = config.get_str("BINARIZATION_FCN_LECTURENET_FILENAME",
@@ -247,12 +263,27 @@ class Binarizer:
                 h, w = batch.frames.shape[1:3]
                 full_size = (w, h)
                 model_size = resolve_model_size(w, h)
+                if self.upload_format == "yuv420" and \
+                        (model_size[0] % 2 or model_size[1] % 2):
+                    # I420 needs even dims; rebuild the packed fn for RGB
+                    from ..models.fcn_lecturenet import make_packed_binarizer
+
+                    self.upload_format = "rgb"
+                    self._packed_fn = make_packed_binarizer(
+                        self.model, self.variables, threshold=self.threshold)
 
             frames = batch.frames
             if model_size != full_size:
                 t0 = pc()
                 frames = _downscale_batch(frames, model_size)
                 stats["downscale_s"] += pc() - t0
+
+            if use_packed and self.upload_format == "yuv420":
+                from ..models.fcn_lecturenet import rgb_to_yuv420_host
+
+                t0 = pc()
+                frames = rgb_to_yuv420_host(frames)
+                stats["source_s"] += pc() - t0
 
             t0 = pc()
             if use_packed:

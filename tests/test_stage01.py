@@ -63,3 +63,49 @@ def test_auto_batch_size():
     # 32 behind a remote device tunnel)
     assert binarizer.batch_size == default_batch_size(32, 32)
     assert binarizer.batch_size in (32, 96)
+
+
+def test_yuv420_upload_format():
+    """YUV 4:2:0 upload: device-side I420->RGB matches cv2's own inverse
+    within rounding, and the packed binarizer output over the yuv path
+    matches the rgb path except for rare chroma-rounding flips."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from lecturemath_tpu.models.fcn_lecturenet import (FCNConfig,
+                                                       FCNLectureNet,
+                                                       rgb_to_yuv420_host,
+                                                       yuv420_to_rgb)
+    from lecturemath_tpu.pipeline.binarize import Binarizer
+    from lecturemath_tpu.utils.synthetic import (
+        synthetic_rgb_lecture, threshold_binarizer_variables)
+
+    rgb, _, _, _ = synthetic_rgb_lecture(seed=5, n_frames=4, height=96,
+                                         width=128)
+    planes = rgb_to_yuv420_host(rgb)
+    assert planes.shape == (4, 144, 128)
+
+    ours = np.asarray(yuv420_to_rgb(jnp.asarray(planes)))
+    theirs = np.stack([cv2.cvtColor(p, cv2.COLOR_YUV2RGB_I420)
+                       for p in planes])
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+    config = FCNConfig(down_filters=(4, 6, 8, 10, 12), mid_filters=12,
+                       upsample_filters=(3, 4, 6, 8, 10),
+                       up_filters=(4, 5, 6, 8, 10), pixel_features=(5, 4),
+                       kernel_size=3, pixel_kernel_size=3)
+    model = FCNLectureNet(config, dtype=jnp.bfloat16)
+    variables = threshold_binarizer_variables(config)
+
+    rgb_bin = Binarizer(model, variables, batch_size=4, upload_format="rgb")
+    yuv_bin = Binarizer(model, variables, batch_size=4,
+                        upload_format="yuv420")
+    assert yuv_bin.upload_format == "yuv420"
+
+    from lecturemath_tpu.pipeline.video import ArraySource
+
+    _, _, a = rgb_bin.process_source(ArraySource(rgb, fps=1.0))
+    _, _, b = yuv_bin.process_source(ArraySource(rgb, fps=1.0))
+    mismatch = np.mean([np.mean(x != y) for x, y in zip(a, b)])
+    assert mismatch < 0.01, f"yuv path diverged: {mismatch}"
