@@ -295,6 +295,10 @@ class FCNLectureNet(nn.Module):
     # convs in space-to-depth domain (same math, far less MXU lane padding;
     # requires H and W divisible by 4 — pad_to_multiple guarantees it)
     s2d_heads: bool = False
+    # s2d block for the head pipeline (2 or 4). k=7 at block 2 remaps to
+    # k'=5 (2.04x structural-zero FLOPs); block 4 remaps to k'=3 (2.94x)
+    # but k'=3 convs run at a higher achieved MXU rate — measure per chip.
+    heads_block: int = 2
 
     @nn.compact
     def __call__(self, x0, train: bool = False, mode: str = "full"):
@@ -446,6 +450,12 @@ class FCNLectureNet(nn.Module):
         xup_s = _S2DUpBlock(cfg.upsample_filters[0], cfg.up_filters[0], k,
                             dtype=dt, name="up_1")(x, skip1_s)
 
+        hb = self.heads_block
+        if hb != 2:
+            x0_hb = _space_to_depth(x0.astype(dt), hb)
+            xup_hb = _space_to_depth(
+                _depth_to_space(xup_s, 2, cfg.up_filters[0]), hb)
+            return self._s2d_domain_heads(cfg, x0_hb, xup_hb, block=hb)
         return self._s2d_domain_heads(cfg, x0_s, xup_s, block=2)
 
     def _s2d_domain_heads(self, cfg, x0_s, xup_s, block):

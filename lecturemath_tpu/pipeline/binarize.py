@@ -112,7 +112,8 @@ class Binarizer:
                                   reconstruction_mode=model.reconstruction_mode,
                                   dtype=model.dtype,
                                   fold_bn=model.fold_bn or want_fold,
-                                  s2d_heads=model.s2d_heads or want_s2d)
+                                  s2d_heads=model.s2d_heads or want_s2d,
+                                  heads_block=model.heads_block)
         self.model = model
         self.mesh = mesh
         self._input_sharding = None

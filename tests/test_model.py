@@ -245,6 +245,12 @@ def test_s2d_heads_model_parity(tiny_model):
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
 
+    # heads_block=4 variant (k=7 -> k'=3 remap) on the same folded params
+    got = FCNLectureNet(TINY, fold_bn=True, s2d_heads=True,
+                        heads_block=4).apply(folded, x, train=False)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
 
 def test_torch_conversion_structure(tiny_model):
     model, init_vars = tiny_model
