@@ -450,7 +450,9 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
     (3x forward FLOPs: fwd + ~2x bwd), and the HBM high-water mark. The
     reference trains batch 8 at 256x256 crops and documents only an OOM
     envelope (lecturenet_train_02_train_binarizer.py:130-134); this gives
-    the capability an actual number. Stops at the first OOM."""
+    the capability an actual number. The first failure in a dtype ends
+    that dtype's sweep (larger batches only OOM harder); a non-finite
+    loss raises."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -468,7 +470,10 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
     sweep = [(b, "float32") for b in batch_sizes]
     # bf16 compute (fp32 params) — the TPU-native mixed-precision mode
     sweep += [(b, "bfloat16") for b in (batch_sizes[0], batch_sizes[-1])]
+    failed_dtypes = set()
     for batch, dtype in sweep:
+        if dtype in failed_dtypes:  # larger batches can only OOM harder
+            continue
         model = FCNLectureNet(net_config,
                               dtype=jnp.bfloat16 if dtype == "bfloat16"
                               else jnp.float32)
@@ -516,11 +521,17 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
             }
             per_batch.append(entry)
             del state, data
+        except AssertionError:   # non-finite loss is a real failure
+            raise
         except Exception as err:  # noqa: BLE001 — OOM ends this dtype
             per_batch.append({"batch": batch, "dtype": dtype,
                               "error": type(err).__name__})
+            failed_dtypes.add(dtype)
 
-    ok = [e for e in per_batch if "error" not in e]
+    # headline matches the metric label (fp32 — what the train CLIs run);
+    # bf16 entries stay in per_batch for comparison
+    ok = [e for e in per_batch
+          if "error" not in e and e["dtype"] == "float32"]
     best = max(ok, key=lambda e: e["images_per_sec"]) if ok else None
     return {
         "metric": f"train images/sec (binarizer phase, {crop}x{crop}, "

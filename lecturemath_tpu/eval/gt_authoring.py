@@ -80,9 +80,13 @@ def export_gt_tree(output_dir: str, db_name: str, lecture_title: str,
     os.makedirs(os.path.join(prefix, "binary"), exist_ok=True)
 
     for idx, binary, pos in zip(keyframe_indices, binary_keyframes, range(n)):
-        rgb = raw_keyframes[pos] if raw_keyframes is not None else \
-            np.stack([binary] * 3, axis=-1)
-        cv2.imwrite(os.path.join(prefix, "keyframes", f"{idx}.png"), rgb)
+        if raw_keyframes is not None:
+            # raw keyframes are RGB (the pipeline's universal in-memory
+            # format); cv2 writes BGR
+            raw = np.asarray(raw_keyframes[pos])[:, :, ::-1]
+        else:
+            raw = np.stack([binary] * 3, axis=-1)
+        cv2.imwrite(os.path.join(prefix, "keyframes", f"{idx}.png"), raw)
         cv2.imwrite(os.path.join(prefix, "binary", f"{idx}.png"),
                     np.stack([binary] * 3, axis=-1))
 

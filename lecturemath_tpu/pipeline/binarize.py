@@ -150,6 +150,8 @@ class Binarizer:
         if upload_format == "auto":
             upload_format = "yuv420" if (force_binary and
                                          remote_device_link()) else "rgb"
+        if upload_format not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown upload format: {upload_format!r}")
         self.upload_format = upload_format
         if force_binary:
             from ..models.fcn_lecturenet import make_packed_binarizer
@@ -265,8 +267,10 @@ class Binarizer:
                 full_size = (w, h)
                 model_size = resolve_model_size(w, h)
                 if self.upload_format == "yuv420" and \
-                        (model_size[0] % 2 or model_size[1] % 2):
-                    # I420 needs even dims; rebuild the packed fn for RGB
+                        (model_size[0] % 2 or model_size[1] % 4):
+                    # I420 needs even width and height % 4 (the U/V planes
+                    # must reshape to (H/2, W/2) from H/4 buffer rows);
+                    # rebuild the packed fn for RGB
                     from ..models.fcn_lecturenet import make_packed_binarizer
 
                     self.upload_format = "rgb"

@@ -148,8 +148,15 @@ class StreamingShardedTracker:
     starts."""
 
     def __init__(self, width: int, height: int, min_recall: float,
-                 min_precision: float, max_gap: int, n_workers: int = 0):
+                 min_precision: float, max_gap: int, n_workers: int = 0,
+                 chunk_frames: int = 0):
+        """``chunk_frames`` > 0 accumulates at least that many frames per
+        shard (coarser shards, less per-shard IPC/merge overhead); 0 makes
+        each add_frames() call — i.e. each drained device batch — its own
+        shard. Any granularity gives bit-identical results."""
         self.params = (width, height, min_recall, min_precision, max_gap)
+        self.chunk_frames = chunk_frames
+        self._buffer: list = []
         self._pool = None
         if n_workers > 1:
             from concurrent.futures import ProcessPoolExecutor
@@ -159,9 +166,11 @@ class StreamingShardedTracker:
         self._merged: Optional[CCTracker] = None
 
     def add_frames(self, frames: Sequence[np.ndarray]) -> None:
-        if not len(frames):
+        self._buffer.extend(frames)
+        if not self._buffer or len(self._buffer) < self.chunk_frames:
             return
-        work = (list(frames),) + self.params
+        work = (self._buffer,) + self.params
+        self._buffer = []
         if self._pool is not None:
             self._futures.append(self._pool.submit(_shard_worker, work))
             # opportunistically fold finished prefix shards (cheap: adopt
@@ -176,11 +185,22 @@ class StreamingShardedTracker:
             merge_trackers(self._merged, tracker)
 
     def finish(self) -> CCTracker:
-        while self._futures:
-            self._merge(self._futures.pop(0).result())
-        if self._pool is not None:
-            self._pool.shutdown()
-            self._pool = None
+        if self._buffer:  # flush the sub-chunk tail
+            work = (self._buffer,) + self.params
+            self._buffer = []
+            if self._pool is not None:
+                self._futures.append(self._pool.submit(_shard_worker, work))
+            else:
+                self._merge(_shard_worker(work))
+        try:
+            while self._futures:
+                self._merge(self._futures.pop(0).result())
+        finally:
+            # a raising worker must not leak the pool or queued shards
+            if self._pool is not None:
+                self._pool.shutdown(wait=False, cancel_futures=True)
+                self._pool = None
+            self._futures.clear()
         if self._merged is None:
             width, height, min_recall, min_precision, max_gap = self.params
             self._merged = CCTracker(width, height, min_recall,

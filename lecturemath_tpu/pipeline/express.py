@@ -60,16 +60,22 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
         if tracker is None and sharded is None:
             height, width = frames[0].shape
             if n_shards > 1:
-                # sharded host tracking (CC_ANALYSIS_SHARDS>1): each drained
-                # batch is a shard, dispatched (to CC_ANALYSIS_WORKERS
-                # processes when >1) while later batches are in flight and
-                # fold-merged in order — streaming overlap is kept, results
-                # are bit-identical to sequential tracking
+                # sharded host tracking (CC_ANALYSIS_SHARDS>1 enables): in
+                # express, shard boundaries follow the drained device
+                # batches (or CC_ANALYSIS_CHUNK_FRAMES-sized chunks),
+                # dispatched to CC_ANALYSIS_WORKERS processes while later
+                # batches are in flight and fold-merged in order —
+                # streaming overlap is kept and results are bit-identical
+                # to sequential tracking at ANY granularity. (The staged
+                # cc_analysis CLI, which holds all frames, splits into
+                # exactly CC_ANALYSIS_SHARDS chunks instead.)
                 from .cc_sharded import StreamingShardedTracker
 
                 sharded = StreamingShardedTracker(
                     width, height, min_recall, min_precision, max_gap,
-                    n_workers=config.get_int("CC_ANALYSIS_WORKERS", 0))
+                    n_workers=config.get_int("CC_ANALYSIS_WORKERS", 0),
+                    chunk_frames=config.get_int("CC_ANALYSIS_CHUNK_FRAMES",
+                                                0))
             else:
                 tracker = CCTracker(width=width, height=height,
                                     min_recall=min_recall,

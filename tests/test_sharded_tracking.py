@@ -214,3 +214,19 @@ def test_streaming_sharded_tracker_empty():
 
     tracker = StreamingShardedTracker(128, 96, 0.85, 0.85, 8).finish()
     assert tracker.img_idx == 0 and not tracker.unique_ccs
+
+
+def test_streaming_tracker_chunk_frames():
+    """chunk_frames coarsens shard granularity without changing results."""
+    from lecturemath_tpu.pipeline.cc_sharded import StreamingShardedTracker
+
+    frames, _, _ = synthetic_lecture(seed=8, n_frames=30, height=96,
+                                     width=128, n_boards=2,
+                                     glyphs_per_board=4, jitter=0.02)
+    sequential = _sequential(frames, 0.85, 0.85, 8)
+
+    streaming = StreamingShardedTracker(128, 96, 0.85, 0.85, 8,
+                                        chunk_frames=13)
+    for start in range(0, len(frames), 4):  # batches smaller than chunks
+        streaming.add_frames(list(frames[start:start + 4]))
+    assert_trackers_equal(sequential, streaming.finish())
