@@ -427,20 +427,74 @@ def measure_reference_baseline(max_frames=BASELINE_FRAMES):
     return 1.0 / per_frame  # fps
 
 
+def measure_reference_stages_2_to_5(n_frames: int = 32):
+    """Per-frame seconds of the reference's stages 02-05 (CC tracking,
+    grouping, segmentation, keyframes) on clean synthetic binary frames —
+    completes the full-pipeline reference baseline (stage 01 is measured
+    separately; the two per-frame costs add)."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from oracle import ensure_oracle
+    ensure_oracle()
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from AccessMath.preprocessing.content.cc_stability_estimator import \
+        CCStabilityEstimator
+
+    sys.path.insert(0, REPO)
+    from lecturemath_tpu.utils.synthetic import synthetic_lecture
+
+    frames, _, _ = synthetic_lecture(
+        seed=0, n_frames=n_frames, height=HEIGHT, width=WIDTH, n_boards=3,
+        glyphs_per_board=40, glyph_size=(40, 60))
+
+    start = time.perf_counter()
+    estimator = CCStabilityEstimator(WIDTH, HEIGHT, 0.925, 0.925, 85)
+    for frame in frames:
+        estimator.add_frame(frame, True)
+    estimator.finish_processing()
+    estimator.rebuilt_binary_images()
+    estimator.split_stable_cc_by_gaps(85, 3)
+    stable = estimator.get_stable_cc_idxs(3)
+    time_ov, _, all_ov = estimator.compute_overlapping_stable_cc(stable, 5)
+    groups, group_of = estimator.compute_groups(stable, time_ov, 0.5,
+                                                0.5, 0.25)
+    ages, per_frame = estimator.compute_groups_temporal_information(groups)
+    estimator.compute_conflicting_groups(stable, all_ov, len(groups),
+                                         group_of)
+    images, bounds = estimator.compute_group_images(groups, ages, 0.5)
+    estimator.frames_from_groups(groups, bounds, per_frame, ages, images,
+                                 None, 3, True)
+    per_frame_s = (time.perf_counter() - start) / n_frames
+    return 1.0 / per_frame_s  # fps
+
+
 def get_baseline_fps():
+    cached = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             cached = json.load(f)
-        if cached.get("baseline_frames", 0) >= BASELINE_FRAMES:
-            return cached["reference_fps"]
-    fps = measure_reference_baseline()
+    if cached.get("baseline_frames", 0) >= BASELINE_FRAMES and \
+            "reference_full_fps" in cached:
+        return cached["reference_fps"], cached["reference_full_fps"]
+    stage01_fps = cached.get("reference_fps")
+    if not stage01_fps or cached.get("baseline_frames", 0) < BASELINE_FRAMES:
+        stage01_fps = measure_reference_baseline()
+    rest_fps = measure_reference_stages_2_to_5()
+    # per-frame times add: full-pipeline fps = harmonic combination
+    full_fps = 1.0 / (1.0 / stage01_fps + 1.0 / rest_fps)
     with open(BASELINE_FILE, "w") as f:
-        json.dump({"reference_fps": fps,
+        json.dump({"reference_fps": stage01_fps,
+                   "reference_stages_2_to_5_fps": rest_fps,
+                   "reference_full_fps": full_fps,
                    "baseline_frames": BASELINE_FRAMES,
-                   "workload": f"{WIDTH}x{HEIGHT} synthetic, stage-01 "
-                               f"torch CPU batch-1 (lower bound for full "
-                               f"reference pipeline time)"}, f, indent=1)
-    return fps
+                   "workload": f"{WIDTH}x{HEIGHT} synthetic; stage-01 torch "
+                               f"CPU batch-1 + stages 02-05 via the "
+                               f"reference CCStabilityEstimator/segmenter "
+                               f"on the same glyph density"}, f, indent=1)
+    return stage01_fps, full_fps
 
 
 def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
@@ -552,14 +606,18 @@ def main():
     if "--train" in sys.argv:
         print(json.dumps(measure_training()))
         return
-    baseline_fps = get_baseline_fps()
+    stage01_fps, full_fps = get_baseline_fps()
     ours_fps, extras = measure_ours()
     print(json.dumps({
         "metric": "frames/sec/chip (binarize->CC->summary, 960x540)",
         "value": round(ours_fps, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(ours_fps / baseline_fps, 1),
-        "baseline_fps": round(baseline_fps, 4),
+        # conservative headline: reference stage-01 forward only; the
+        # honest like-for-like (its full 5-stage pipeline) is larger
+        "vs_baseline": round(ours_fps / stage01_fps, 1),
+        "vs_baseline_full_pipeline": round(ours_fps / full_fps, 1),
+        "baseline_fps": round(stage01_fps, 4),
+        "baseline_full_fps": round(full_fps, 4),
         **extras,
     }))
 

@@ -253,3 +253,40 @@ def test_express_matches_staged(workspace, synthetic):
     assert len(keyframes) == len(staged_keyframes)
     for mine, theirs in zip(keyframes, staged_keyframes):
         np.testing.assert_array_equal(mine, theirs)
+
+
+def test_reference_sampling_alignment(tmp_path, synthetic):
+    """'reference' alignment reproduces the reference VideoProcessor's
+    accounting: content = last frame of each period, index = POS_FRAMES
+    (one past content), time = POS_MSEC (the content frame), first sample
+    dropped (video_processor.py:40,97,124-171)."""
+    import cv2
+
+    frames, _, _ = synthetic
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30.0,
+                             (128, 96))
+    for content_second in range(4):
+        rgb = np.stack([frames[content_second]] * 3, axis=-1)
+        for _ in range(30):
+            writer.write(rgb)
+    writer.release()
+
+    source = VideoFrameSource([path], sampling_fps=1.0,
+                              alignment="reference")
+    sampled = list(source.frames())
+    assert [i for _, i, _ in sampled] == [60, 90, 120]
+    times = [t for t, _, _ in sampled]
+    np.testing.assert_allclose(
+        times, [59 / 30 * 1000, 89 / 30 * 1000, 119 / 30 * 1000])
+    # content of sample k is the LAST frame of content second k+1 (MJPG is
+    # lossy, so just bound the pixel error; exact content parity against
+    # the real reference VideoProcessor is locked by test_full_system_ab)
+    for (_, _, frame), content_second in zip(sampled, (1, 2, 3)):
+        err = np.abs(frame[:, :, 0].astype(int)
+                     - frames[content_second].astype(int)).mean()
+        assert err < 8.0, err
+
+    # default 'start' alignment keeps frame 0 and self-consistent indices
+    start = list(VideoFrameSource([path], sampling_fps=1.0).frames())
+    assert [i for _, i, _ in start] == [0, 30, 60, 90]
