@@ -81,7 +81,8 @@ class Binarizer:
 
     def __init__(self, model: FCNLectureNet, variables,
                  batch_size: Optional[int] = None, force_binary: bool = True,
-                 threshold: int = 128, pipeline_depth: int = 2, mesh=None,
+                 threshold: int = 128,
+                 pipeline_depth: Optional[int] = None, mesh=None,
                  fold_bn: bool = True, s2d_heads: bool = True,
                  upload_format: str = "auto"):
         """``mesh`` (jax.sharding.Mesh with 'data'/'model' axes) shards the
@@ -140,7 +141,12 @@ class Binarizer:
         self.force_binary = force_binary
         self.threshold = threshold
         # in-flight device batches: deeper queues hide dispatch/transfer
-        # latency (significant through remote-tunnel device links)
+        # latency. Behind the remote tunnel the upload of batch k+1..k+3
+        # must overlap batch k's compute+download to keep the link saturated
+        # (measured: depth 4 vs 2 is ~15% on stage-01 wall); locally depth 2
+        # suffices and keeps in-flight memory minimal.
+        if pipeline_depth is None:
+            pipeline_depth = 4 if remote_device_link() else 2
         self.pipeline_depth = max(1, pipeline_depth)
         self._binarize_fn = make_binarizer(model, variables,
                                            force_binary=force_binary,
