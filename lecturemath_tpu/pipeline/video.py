@@ -50,6 +50,11 @@ class VideoFrameSource:
     Configure via the SAMPLING_ALIGNMENT config key on the pipeline CLIs.
     """
 
+    # class-level defaults: subclasses (ImageListSource, ArraySource)
+    # define their own __init__/frames and inherit these
+    alignment = "start"
+    seek_strategy = "auto"
+
     def __init__(self, video_paths: Sequence[str], sampling_fps: float,
                  forced_resolution: Optional[Tuple[int, int]] = None,
                  seek_strategy: str = "auto", alignment: str = "start"):
