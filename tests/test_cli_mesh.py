@@ -105,3 +105,27 @@ def test_cli_mesh_matches_single_device(workspace):
     assert mesh_times == base_times and mesh_indices == base_indices
     for a, b in zip(base_frames, mesh_frames):
         np.testing.assert_array_equal(a, b)
+
+
+def test_binarize_cli_upload_format(workspace):
+    """UPLOAD_FORMAT=yuv420 through the binarize CLI: runs end-to-end and
+    stays within chroma-rounding distance of the rgb artifact."""
+    import numpy as np
+
+    from lecturemath_tpu.pipeline.video import decompress_png
+
+    times_rgb, idx_rgb, frames_rgb = _run_binarize_cli(workspace, [])
+
+    conf = (workspace / "test.conf").read_text()
+    (workspace / "yuv.conf").write_text(conf + "\nUPLOAD_FORMAT = yuv420\n")
+    from lecturemath_tpu.cli.binarize import main
+    from lecturemath_tpu.core.artifacts import ArtifactStore
+
+    main(["binarize", str(workspace / "yuv.conf")])
+    store = ArtifactStore(str(workspace / "output" / "temporal"))
+    times_yuv, idx_yuv, png_yuv = store.load("tempo_binary_", "synth01")
+
+    assert idx_yuv == idx_rgb and times_yuv == times_rgb
+    mism = np.mean([np.mean(a != b) for a, b in
+                    zip(frames_rgb, decompress_png(png_yuv))])
+    assert mism < 0.02, mism
