@@ -713,7 +713,6 @@ def rgb_to_yuv420_host(frames: "np.ndarray") -> "np.ndarray":
     """uint8 RGB [B, H, W, 3] -> uint8 I420 planes [B, H*3/2, W] (host,
     cv2). H and W must be even."""
     import cv2
-    import numpy as np
 
     frames = np.asarray(frames)
     out = np.empty((frames.shape[0], frames.shape[1] * 3 // 2,

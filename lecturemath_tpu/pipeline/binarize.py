@@ -153,9 +153,10 @@ class Binarizer:
                                            threshold=threshold)
         # streaming stage-01 path: binary-only output packed to a bitmap on
         # device (8x smaller host download, the tunnel/PCIe bottleneck)
-        if upload_format == "auto":
-            upload_format = "yuv420" if (force_binary and
-                                         remote_device_link()) else "rgb"
+        if not force_binary:
+            upload_format = "rgb"  # full-output path stays RGB
+        elif upload_format == "auto":
+            upload_format = "yuv420" if remote_device_link() else "rgb"
         if upload_format not in ("rgb", "yuv420"):
             raise ValueError(f"unknown upload format: {upload_format!r}")
         self.upload_format = upload_format
@@ -167,7 +168,6 @@ class Binarizer:
                 input_format=upload_format)
         else:
             self._packed_fn = None
-            self.upload_format = "rgb"  # full-output path stays RGB
 
     @classmethod
     def from_config(cls, config: Config, allow_random: bool = False,
