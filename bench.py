@@ -324,6 +324,11 @@ def measure_ours():
         accounting.append({
             "rtt_ms": round(rtt_s * 1e3, 1),
             "up_mbps": round(up_mbps, 1),
+            # sustained lower bound implied by the run itself: a throttled
+            # tunnel can burst at probe speed yet stream far slower, which
+            # shows up as implied << probed (names the residual)
+            "implied_up_mbps_min": round(
+                up_bytes / max(wall_12, 1e-9) / 1e6, 1),
             "down_mbps": round(down_mbps, 1),
             "stream_phases_s": {k: round(v, 2) for k, v in stream.items()},
             "lanes_s": {"upload": round(up_total, 2),
