@@ -367,3 +367,52 @@ def test_our_eval_consumes_reference_tree(workspace, gt_tree):
     entry = metrics["all"][0]
     assert entry["recall_metrics"]["recall"] > 0.99
     assert entry["precision_metrics"]["precision"] > 0.99
+
+
+def test_method2_segmentation_ab(workspace, reference_outputs, our_outputs):
+    """Composition A/B for segmentation method 2 (conflict minimization):
+    re-run stage 04+05 of BOTH pipelines over the already-produced stage
+    01-03 artifacts with VIDEO_SEGMENTATION_METHOD=2 and compare. Runs
+    last in this module — it overwrites the summary trees."""
+    import cv2
+
+    method2_keys = {
+        "VIDEO_SEGMENTATION_METHOD": 2,
+        "VIDEO_SEGMENTATION_OUTPUT": "tempo_intervals_m2_",
+        "VIDEO_SEGMENTATION_CONFLICTS_MIN_CONFLICTS": 1.0,
+        "VIDEO_SEGMENTATION_CONFLICTS_MIN_SPLIT": 8,
+        "VIDEO_SEGMENTATION_CONFLICTS_MIN_LENGTH": 5,
+    }
+    root = workspace["root"]
+    for conf_name, out_name in (("ref.conf", "out_ref"),
+                                ("ours.conf", "out_ours")):
+        text = (root / conf_name).read_text()
+        extra = "".join(f"{k} = {v}\n" for k, v in method2_keys.items())
+        (root / f"m2_{conf_name}").write_text(text + extra)
+
+    run_reference_script("pre_ST3D_v3.0_04_vid_segmentation.py",
+                         str(root / "m2_ref.conf"))
+    run_reference_script("pre_ST3D_v3.0_05_generate_summary.py",
+                         str(root / "m2_ref.conf"))
+
+    from lecturemath_tpu.cli.generate_summary import main as summary_main
+    from lecturemath_tpu.cli.vid_segmentation import main as seg_main
+
+    seg_main(["vid_segmentation", str(root / "m2_ours.conf")])
+    summary_main(["generate_summary", str(root / "m2_ours.conf")])
+
+    ref_iv = load_artifact(reference_outputs, "tempo_intervals_m2_")
+    our_iv = load_artifact(our_outputs, "tempo_intervals_m2_")
+    assert [tuple(i) for i in our_iv] == [tuple(i) for i in ref_iv]
+    assert len(ref_iv) >= 1
+
+    ref_dir = os.path.join(reference_outputs, "summaries", "ABDB_ab01",
+                           "keyframes")
+    our_dir = os.path.join(our_outputs, "summaries", "ABDB_ab01",
+                           "keyframes")
+    names = sorted(os.listdir(ref_dir))
+    assert sorted(os.listdir(our_dir)) == names
+    for name in names:
+        np.testing.assert_array_equal(
+            cv2.imread(os.path.join(our_dir, name)),
+            cv2.imread(os.path.join(ref_dir, name)))
