@@ -416,3 +416,48 @@ def test_method2_segmentation_ab(workspace, reference_outputs, our_outputs):
         np.testing.assert_array_equal(
             cv2.imread(os.path.join(our_dir, name)),
             cv2.imread(os.path.join(ref_dir, name)))
+
+
+def test_method1_segmentation_ab(workspace, reference_outputs, our_outputs):
+    """Composition A/B for segmentation method 1 (ink-sum regression tree):
+    stage 04+05 of both pipelines over the shared stage 01-03 artifacts."""
+    import cv2
+
+    method1_keys = {
+        "VIDEO_SEGMENTATION_METHOD": 1,
+        "VIDEO_SEGMENTATION_OUTPUT": "tempo_intervals_m1_",
+        "VIDEO_SEGMENTATION_SUM_MIN_SEGMENT": 5,
+        "VIDEO_SEGMENTATION_SUM_MIN_ERASE_RATIO": 0.05,
+    }
+    root = workspace["root"]
+    for conf_name in ("ref.conf", "ours.conf"):
+        text = (root / conf_name).read_text()
+        extra = "".join(f"{k} = {v}\n" for k, v in method1_keys.items())
+        (root / f"m1_{conf_name}").write_text(text + extra)
+
+    run_reference_script("pre_ST3D_v3.0_04_vid_segmentation.py",
+                         str(root / "m1_ref.conf"))
+    run_reference_script("pre_ST3D_v3.0_05_generate_summary.py",
+                         str(root / "m1_ref.conf"))
+
+    from lecturemath_tpu.cli.generate_summary import main as summary_main
+    from lecturemath_tpu.cli.vid_segmentation import main as seg_main
+
+    seg_main(["vid_segmentation", str(root / "m1_ours.conf")])
+    summary_main(["generate_summary", str(root / "m1_ours.conf")])
+
+    ref_iv = load_artifact(reference_outputs, "tempo_intervals_m1_")
+    our_iv = load_artifact(our_outputs, "tempo_intervals_m1_")
+    assert [tuple(i) for i in our_iv] == [tuple(i) for i in ref_iv]
+    assert len(ref_iv) >= 1
+
+    ref_dir = os.path.join(reference_outputs, "summaries", "ABDB_ab01",
+                           "keyframes")
+    our_dir = os.path.join(our_outputs, "summaries", "ABDB_ab01",
+                           "keyframes")
+    names = sorted(os.listdir(ref_dir))
+    assert sorted(os.listdir(our_dir)) == names
+    for name in names:
+        np.testing.assert_array_equal(
+            cv2.imread(os.path.join(our_dir, name)),
+            cv2.imread(os.path.join(ref_dir, name)))
