@@ -141,3 +141,36 @@ def test_production_width_tensor_parallel_step():
     }
     state, metrics = trainer.step(state, batch)
     assert np.isfinite(float(jax.device_get(metrics["total"])))
+
+
+def test_mesh_with_yuv_upload():
+    """Frame-sharded mesh inference composes with YUV420 uploads: planes
+    shard over 'data' and results match the unsharded yuv path exactly."""
+    import numpy as np
+
+    from lecturemath_tpu.parallel.mesh import MeshSpec, make_mesh
+    from lecturemath_tpu.pipeline.binarize import Binarizer
+    from lecturemath_tpu.pipeline.video import ArraySource
+    from lecturemath_tpu.utils.synthetic import (
+        synthetic_rgb_lecture, threshold_binarizer_variables)
+
+    config = FCNConfig(down_filters=(4, 6, 8, 10, 12), mid_filters=12,
+                       upsample_filters=(3, 4, 6, 8, 10),
+                       up_filters=(4, 5, 6, 8, 10), pixel_features=(5, 4),
+                       kernel_size=3, pixel_kernel_size=3)
+    model = FCNLectureNet(config, dtype=jnp.bfloat16)
+    variables = threshold_binarizer_variables(config)
+    rgb, _, _, _ = synthetic_rgb_lecture(seed=13, n_frames=8, height=96,
+                                         width=128)
+
+    mesh = make_mesh(MeshSpec(data=4, model=1), devices=jax.devices()[:4])
+    sharded = Binarizer(model, variables, batch_size=4, mesh=mesh,
+                        upload_format="yuv420")
+    plain = Binarizer(model, variables, batch_size=4,
+                      upload_format="yuv420")
+    assert sharded.upload_format == "yuv420"
+
+    _, _, a = sharded.process_source(ArraySource(rgb, fps=1.0))
+    _, _, b = plain.process_source(ArraySource(rgb, fps=1.0))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
