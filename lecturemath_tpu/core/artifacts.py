@@ -32,8 +32,15 @@ class ArtifactStore:
         return out_path
 
     def load(self, prefix: str, lecture_id: str) -> Any:
-        with open(self.path(prefix, lecture_id), "rb") as f:
-            return pickle.load(f)
+        path = self.path(prefix, lecture_id)
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        except UnicodeDecodeError:
+            # legacy py2-era reference artifacts pickle byte strings that
+            # need latin1 decoding (reference: misc_helper.py:172-182)
+            with open(path, "rb") as f:
+                return pickle.load(f, encoding="latin1")
 
     def exists(self, prefix: str, lecture_id: str) -> bool:
         return os.path.exists(self.path(prefix, lecture_id))

@@ -170,3 +170,16 @@ def test_image_list_source_reference_index(tmp_path):
     assert [(t, i) for t, i, _ in out] == [(1000.0, 30), (2000.0, 60),
                                            (3000.0, 90)]
     np.testing.assert_array_equal(out[0][2][:, :, 0], frames[0])
+
+
+def test_artifact_store_latin1_legacy_pickle(tmp_path):
+    """py2-era reference .dat artifacts pickle byte strings that need the
+    latin1 fallback (reference: misc_helper.py:172-182 retries dump_load
+    with encoding='latin1'); plain pickle.load raises UnicodeDecodeError."""
+    store = ArtifactStore(str(tmp_path / "temporal"))
+    os.makedirs(store.temporal_dir, exist_ok=True)
+    # protocol-0 pickle of the py2 str '\xe9' — exactly what a py2
+    # pickle.dump of a non-ascii byte string produces
+    with open(store.path("tempo_legacy_", "lecture_01"), "wb") as f:
+        f.write(b"S'\\xe9'\np0\n.")
+    assert store.load("tempo_legacy_", "lecture_01") == "\xe9"
