@@ -49,7 +49,10 @@ def _bn_stats(sd, torch_name) -> Dict[str, np.ndarray]:
 def _np(tensor) -> np.ndarray:
     if hasattr(tensor, "detach"):
         tensor = tensor.detach().cpu().numpy()
-    return np.asarray(tensor, dtype=np.float32)
+    # copy=True: torch .numpy() shares memory with the live tensor, and the
+    # torch optimizer updates parameters IN PLACE — a view here would let
+    # later torch training silently mutate the converted flax variables
+    return np.array(tensor, dtype=np.float32, copy=True)
 
 
 def torch_state_dict_to_flax(sd: Dict[str, Any]) -> Dict[str, Any]:

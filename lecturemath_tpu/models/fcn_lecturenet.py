@@ -223,6 +223,55 @@ class S2DConv(nn.Module):
         return s2d_conv_same(x, kernel, bias, self.block, self.dtype)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact training semantics.
+
+    Differences vs flax nn.BatchNorm that matter for training parity with
+    the reference torch trainers (verified in tests/test_train_parity.py):
+
+      * running_var accumulates the UNBIASED batch variance (factor
+        n/(n-1), n = batch*H*W) while normalization uses the biased one —
+        torch.nn.BatchNorm2d semantics; flax accumulates the biased
+        variance.
+      * variance is computed two-pass (mean of squared deviations) like
+        torch, not as E[x^2] - E[x]^2.
+
+    Momentum mapping: flax-style decay ``momentum=0.9`` == torch
+    ``momentum=0.1`` (torch: ra = (1-m)*ra + m*batch). Collection/param
+    names (batch_stats/{mean,var}, params/{scale,bias}) and init values
+    match flax nn.BatchNorm, so checkpoints and the converter are
+    unaffected."""
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        xf = x.astype(self.dtype)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if not self.is_initializing():
+                n = float(np.prod([x.shape[a] for a in axes]))
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * unbiased)
+        return (xf - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
+
+
 class ConvBNAct(nn.Module):
     """conv(k, same) + BatchNorm + optional exact GELU.
 
@@ -248,7 +297,7 @@ class ConvBNAct(nn.Module):
                         padding="SAME", kernel_init=_XAVIER,
                         dtype=self.dtype, name="conv")(x)
         if not self.fold_bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         if self.use_gelu:
             x = nn.gelu(x, approximate=False)
@@ -274,7 +323,7 @@ class UpBlock(nn.Module):
                              kernel_init=_XAVIER, dtype=self.dtype,
                              name="deconv")(x)
         if not self.fold_bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         x = nn.gelu(x, approximate=False).astype(self.dtype)
         # crop to the skip's spatial dims (handles odd encoder sizes the way
@@ -352,7 +401,7 @@ class FCNLectureNet(nn.Module):
                       padding="SAME", kernel_init=_XAVIER, dtype=dt,
                       name="rec_conv")(x_up1)
         if not self.fold_bn:
-            rec = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            rec = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, dtype=jnp.float32,
                                name="rec_bn")(rec)
         rec = jnp.tanh(rec).astype(dt)
@@ -371,7 +420,7 @@ class FCNLectureNet(nn.Module):
                                   kernel_init=_XAVIER, dtype=dt,
                                   name="text_conv")(x_up1)
         if not self.fold_bn:
-            text_logits = nn.BatchNorm(use_running_average=not train,
+            text_logits = TorchBatchNorm(use_running_average=not train,
                                        momentum=0.9, epsilon=1e-5,
                                        dtype=jnp.float32,
                                        name="text_bn")(text_logits)
@@ -398,7 +447,7 @@ class FCNLectureNet(nn.Module):
                                  kernel_init=_XAVIER, dtype=dt,
                                  name="out_conv")(h)
         if not self.fold_bn:
-            bin_logits = nn.BatchNorm(use_running_average=not train,
+            bin_logits = TorchBatchNorm(use_running_average=not train,
                                       momentum=0.9, epsilon=1e-5,
                                       dtype=jnp.float32, name="out_bn")(bin_logits)
 
