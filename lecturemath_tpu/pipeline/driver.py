@@ -93,6 +93,34 @@ class PipelineDriver:
         return [os.path.join(video_root, video["path"])
                 for video in lecture.main_videos]
 
+    def frame_source(self, lecture: LectureInfo):
+        """Build the lecture's frame source: pre-exported image lists when
+        the lecture input is a frame directory, video decode otherwise.
+
+        Image-list mode (reference: console_ui_process.py:188
+        start_image_list_preprocessing + image_list_processor.py:81) is
+        selected when the OUTPUT_FRAME_EXPORT config key names a directory
+        holding <lecture.title>/ frame exports, or when the lecture's main
+        "video" path itself resolves to a directory (with an optional
+        reference index.json for time/index metadata)."""
+        from .video import ImageListSource, VideoFrameSource
+
+        extension = self.config.get_str("FRAME_EXPORT_EXTENSION", ".png")
+        export_root = self.config.get_str("OUTPUT_FRAME_EXPORT", "")
+        if export_root:
+            image_dir = os.path.join(export_root, lecture.title)
+            if os.path.isdir(image_dir):
+                return ImageListSource(image_dir, extension,
+                                       lecture.forced_resolution)
+        paths = self.video_paths(lecture)
+        if len(paths) == 1 and os.path.isdir(paths[0]):
+            return ImageListSource(paths[0], extension,
+                                   lecture.forced_resolution)
+        return VideoFrameSource(
+            paths, self.config.get_float("SAMPLING_FPS", 1.0),
+            lecture.forced_resolution,
+            alignment=self.config.get_str("SAMPLING_ALIGNMENT", "start"))
+
     # ------------------------------------------------------------- lectures
 
     def iter_lectures(self) -> Iterator[LectureInfo]:

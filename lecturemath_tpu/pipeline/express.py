@@ -18,7 +18,7 @@ from .binarize import Binarizer
 from .cc_tracking import CCTracker
 from .driver import PipelineDriver
 from .keyframes import close_interval_gaps, export_summary, extract_keyframes
-from .video import VideoFrameSource, compress_png
+from .video import compress_png
 from . import segmentation as seg
 
 
@@ -40,10 +40,7 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
     if binarizer is None:
         binarizer = Binarizer.from_config(config)
     if source is None:
-        fps = config.get_float("SAMPLING_FPS", 1.0)
-        source = VideoFrameSource(
-            driver.video_paths(lecture), fps, lecture.forced_resolution,
-            alignment=config.get_str("SAMPLING_ALIGNMENT", "start"))
+        source = driver.frame_source(lecture)
 
     min_recall = config.get_float("CC_STABILITY_MIN_RECALL", 0.925)
     min_precision = config.get_float("CC_STABILITY_MIN_PRECISION", 0.925)

@@ -24,7 +24,7 @@ from .binarize import Binarizer
 from .cc_tracking import CCTracker
 from .driver import PipelineDriver
 from .keyframes import close_interval_gaps, export_summary, extract_keyframes
-from .video import (VideoFrameSource, compress_png, decompress_png)
+from .video import compress_png, decompress_png
 from . import segmentation as seg
 
 
@@ -38,10 +38,7 @@ def stage01_binarize(driver: PipelineDriver, lecture: LectureInfo,
     if binarizer is None:
         binarizer = Binarizer.from_config(driver.config)
 
-    fps = driver.config.get_float("SAMPLING_FPS", 1.0)
-    source = VideoFrameSource(
-        driver.video_paths(lecture), fps, lecture.forced_resolution,
-        alignment=driver.config.get_str("SAMPLING_ALIGNMENT", "start"))
+    source = driver.frame_source(lecture)
     times, indices, binaries = binarizer.process_source(source, frames_limit)
     return times, indices, compress_png(binaries)
 
