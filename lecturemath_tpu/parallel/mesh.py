@@ -82,11 +82,27 @@ def make_mesh(spec: MeshSpec = MeshSpec(), devices=None) -> Mesh:
     return Mesh(grid, axis_names=("data", "model"))
 
 
+def put_with_sharding(x: Any, sharding: NamedSharding) -> Any:
+    """Place one host array under a (possibly multi-process) sharding.
+
+    Single-process: plain device_put. Multi-process (jax.distributed
+    initialized, process_count > 1): the caller passes its PROCESS-LOCAL
+    portion — the rows of a 'data'-sharded batch this host owns, or the
+    full array for replicated/intra-process shardings — and
+    jax.make_array_from_process_local_data assembles the global array
+    (host-local batching; no host ever materializes the global batch)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Put a host batch (or pytree of arrays) with leading batch axis onto
-    the mesh, sharded over 'data'."""
+    the mesh, sharded over 'data'. In multi-process runs each process
+    passes its local batch rows (see put_with_sharding)."""
     sharding = NamedSharding(mesh, P("data"))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: put_with_sharding(x, sharding), batch)
 
 
 def _param_spec(path_leaf: str, value) -> P:
@@ -122,10 +138,34 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     parallelism over 'model' (replicated over 'data')."""
     specs = params_pspec_tree(params, mesh)
     return jax.tree.map(
-        lambda value, spec: jax.device_put(value, NamedSharding(mesh, spec)),
+        lambda value, spec: put_with_sharding(value,
+                                              NamedSharding(mesh, spec)),
         params, specs)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: put_with_sharding(x, sharding), tree)
+
+
+def initialize_distributed_from_env() -> bool:
+    """Join a multi-process (multi-host) mesh when the LM_COORDINATOR /
+    LM_NUM_PROCESSES / LM_PROCESS_ID environment variables are set; no-op
+    otherwise. Returns True when running multi-process. Call before any
+    device use — jax.distributed.initialize must precede backend init.
+
+    This is the DCN-facing entry point: on a TPU pod slice each host runs
+    the same CLI with its own LM_PROCESS_ID and jax assembles the global
+    device mesh (collectives ride ICI within a slice, DCN across hosts).
+    On CPU it uses the Gloo backend — the multi-process tests exercise the
+    same code path with 2 processes x 4 virtual devices."""
+    import os
+
+    coordinator = os.environ.get("LM_COORDINATOR")
+    if not coordinator:
+        return jax.process_count() > 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=int(os.environ["LM_NUM_PROCESSES"]),
+        process_id=int(os.environ["LM_PROCESS_ID"]))
+    return True

@@ -212,13 +212,29 @@ class Binarizer:
     def _to_device(self, frames):
         if self._input_sharding is None:
             return jnp.asarray(frames)
-        return jax.device_put(np.asarray(frames), self._input_sharding)
+        from ..parallel.mesh import put_with_sharding
+
+        return put_with_sharding(np.asarray(frames), self._input_sharding)
+
+    @staticmethod
+    def _fetch(array) -> np.ndarray:
+        """device_get that also works on multi-process global arrays: each
+        host fetches (only) the frame rows it owns — the batch axis is
+        'data'-sharded, so addressable shards are whole frames."""
+        if jax.process_count() > 1 and not array.is_fully_addressable:
+            by_row = {}  # dedup: the model axis replicates each row range
+            for shard in array.addressable_shards:
+                by_row.setdefault(shard.index[0].start or 0, shard.data)
+            return np.concatenate([np.asarray(by_row[k])
+                                   for k in sorted(by_row)])
+        return np.asarray(jax.device_get(array))
 
     def binarize_frames(self, frames: np.ndarray) -> np.ndarray:
         """uint8 RGB [B, H, W, 3] -> uint8 binary [B, H, W] in the raw model
-        polarity (a trained model emits ink=0 on a 255 background)."""
+        polarity (a trained model emits ink=0 on a 255 background). In
+        multi-process runs, in and out are this host's local frame rows."""
         binary, _, _ = self._binarize_fn(self._to_device(frames))
-        return np.asarray(jax.device_get(binary))
+        return self._fetch(binary)
 
     def stream_source(self, source: VideoFrameSource, frames_limit: int = 0,
                       invert: bool = True):

@@ -24,7 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import Config
 from ..models.fcn_lecturenet import FCNConfig, FCNLectureNet
-from ..parallel.mesh import make_mesh, MeshSpec, params_pspec_tree
+from ..parallel.mesh import (make_mesh, MeshSpec, params_pspec_tree,
+                             put_with_sharding)
 from .losses import phase_losses
 
 
@@ -82,25 +83,28 @@ class Trainer:
 
         def put(tree, specs):
             return jax.tree.map(
-                lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+                lambda v, s: put_with_sharding(v, NamedSharding(mesh, s)),
                 tree, specs)
 
+        replicated = NamedSharding(mesh, P())
         return TrainState(
-            step=jax.device_put(state.step, NamedSharding(mesh, P())),
+            step=put_with_sharding(state.step, replicated),
             params=put(state.params, pspecs),
             batch_stats=jax.tree.map(
-                lambda v: jax.device_put(v, NamedSharding(mesh, P())),
+                lambda v: put_with_sharding(v, replicated),
                 state.batch_stats),
             opt_state=jax.tree.map(
-                lambda v: jax.device_put(v, NamedSharding(mesh, P())),
+                lambda v: put_with_sharding(v, replicated),
                 state.opt_state),
         )
 
     def shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Multi-process runs pass each host's LOCAL batch rows (see
+        parallel.mesh.put_with_sharding: host-local batching)."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         sharding = NamedSharding(self.mesh, P("data"))
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: put_with_sharding(v, sharding) for k, v in batch.items()}
 
     # -------------------------------------------------------------- steps
 

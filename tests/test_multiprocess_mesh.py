@@ -1,0 +1,126 @@
+"""Real multi-PROCESS mesh execution (VERDICT r3 item 6): 2 processes x 4
+virtual CPU devices each, joined via jax.distributed.initialize (Gloo
+collectives), running the SAME dp x tp train step and frame-sharded
+binarization as the single-process 8-device mesh — and producing the same
+losses and the same binary frames.
+
+The single-process 8-device mesh (conftest backend) covers GSPMD
+collectives but not process boundaries; this covers what it can't:
+cross-process collectives, host-local batching
+(jax.make_array_from_process_local_data), and per-host output fetching —
+the DCN-shaped code path behind multi-host lecture sharding
+(SURVEY.md §2.11).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from lecturemath_tpu.parallel.mesh import MeshSpec, make_mesh
+
+from mp_workload import (TRAIN_STEPS, make_frames, make_train_batch,
+                         run_inference, run_training)
+
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+
+# two fresh processes each compile the dp x tp train step on this 1-core VM
+# (~6 min wall) — slow-marked per VERDICT r3 item 6
+pytestmark = pytest.mark.slow
+
+
+def _free_port():
+    import socket
+
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        return sock.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def worker_results(tmp_path_factory):
+    out_dir = tmp_path_factory.mktemp("mp")
+    port = _free_port()
+    procs = []
+    for proc_id in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update({
+            "LM_COORDINATOR": f"localhost:{port}",
+            "LM_NUM_PROCESSES": "2",
+            "LM_PROCESS_ID": str(proc_id),
+            "LM_OUT_PATH": str(out_dir / f"proc{proc_id}.json"),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "mp_worker.py")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+
+    outputs = []
+    deadline = time.time() + 480
+    for proc in procs:
+        remaining = max(10, deadline - time.time())
+        try:
+            stdout, _ = proc.communicate(timeout=remaining)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            raise
+        outputs.append(stdout)
+    for proc, stdout in zip(procs, outputs):
+        assert proc.returncode == 0, f"worker failed:\n{stdout[-3000:]}"
+
+    results = []
+    for proc_id in range(2):
+        with open(out_dir / f"proc{proc_id}.json") as f:
+            results.append(json.load(f))
+        results[proc_id]["binary"] = np.load(
+            str(out_dir / f"proc{proc_id}.json") + ".npy")
+    return results
+
+
+@pytest.fixture(scope="module")
+def single_process_reference():
+    """The identical workload on the in-process 8-device mesh."""
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    losses = run_training(mesh, make_train_batch())
+    binary = run_inference(mesh, make_frames())
+    return {"losses": losses, "binary": binary}
+
+
+def test_workers_joined_global_mesh(worker_results):
+    for proc_id, result in enumerate(worker_results):
+        assert result["process_id"] == proc_id
+        assert result["n_devices"] == 8   # global view spans both processes
+        assert result["n_local"] == 4
+
+
+def test_train_losses_match_single_process(worker_results,
+                                           single_process_reference):
+    """dp x tp SGD across the process boundary: both hosts observe the same
+    (replicated) loss trajectory, equal to the single-process mesh run up
+    to collective reduction-order rounding."""
+    ref = single_process_reference["losses"]
+    assert len(ref) == TRAIN_STEPS and ref[-1] < ref[0]  # it actually learns
+    for result in worker_results:
+        np.testing.assert_allclose(result["losses"], ref,
+                                   rtol=1e-5, atol=1e-6)
+    # and the two hosts agree bit-for-bit with each other (replicated state)
+    assert worker_results[0]["losses"] == worker_results[1]["losses"]
+
+
+def test_sharded_inference_matches_single_process(worker_results,
+                                                  single_process_reference):
+    """Frame-sharded binarization across the process boundary: each host's
+    local output rows equal the single-process run's corresponding rows."""
+    ref = single_process_reference["binary"]
+    assert ref.shape[0] == 8
+    np.testing.assert_array_equal(worker_results[0]["binary"], ref[:4])
+    np.testing.assert_array_equal(worker_results[1]["binary"], ref[4:])
+    assert (ref == 0).any() and (ref == 255).any()  # real binarized content
