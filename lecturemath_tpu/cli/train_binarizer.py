@@ -23,6 +23,10 @@ def keyframe_binary_pairs(output_root: str, database: MetaDataDB,
     lecturenet_train_02:23-48)."""
     images, gts = [], []
     dataset = database.get_dataset(dataset_name)
+    if dataset is None:
+        raise ValueError(f"invalid dataset name <{dataset_name}> "
+                         f"(database defines: "
+                         f"{sorted(database.datasets)})")
     for lecture in dataset.lectures:
         prefix = os.path.join(output_root, database.output_annotations,
                               f"{database.name}_{lecture.title.lower()}")

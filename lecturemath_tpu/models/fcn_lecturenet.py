@@ -576,27 +576,37 @@ class FCNLectureNet(nn.Module):
 # inference helpers
 # ---------------------------------------------------------------------------
 
-def fold_batch_norms(variables, eps: float = 1e-5):
+def fold_batch_norms(variables, eps: float = 1e-5, xp=None):
     """Fold every inference BatchNorm affine into the preceding conv/deconv
     kernel+bias: y = a*(conv(x)+bias-mean)+b == conv'(x) with kernel*a and
     bias a*(bias-mean)+b. Returns {'params': ...} for a model built with
     ``fold_bn=True``. Standard inference optimization — removes all BN ops
     (and their full-resolution f32 cast/scale traffic) from the graph.
+
+    ``xp=jnp`` makes the fold traceable: called INSIDE a jitted train step
+    on frozen-BN (warm-start) phases, the per-channel kernel scaling is a
+    few kiloflops, gradients flow back through it to the original
+    conv/BN parameters, and the full-resolution BN elementwise passes
+    vanish from both forward and backward (see train/trainer.py
+    fold_frozen_bn).
     """
     import numpy as np
+
+    if xp is None:
+        xp = np
 
     params = variables["params"]
     stats = variables["batch_stats"]
 
     def folded(conv, bn_p, bn_s, out_axis=-1):
-        a = np.asarray(bn_p["scale"], np.float32) / np.sqrt(
-            np.asarray(bn_s["var"], np.float32) + eps)
-        shift = (np.asarray(bn_p["bias"], np.float32)
-                 - a * np.asarray(bn_s["mean"], np.float32))
-        kernel = np.asarray(conv["kernel"], np.float32)
+        a = xp.asarray(bn_p["scale"], np.float32) / xp.sqrt(
+            xp.asarray(bn_s["var"], np.float32) + eps)
+        shift = (xp.asarray(bn_p["bias"], np.float32)
+                 - a * xp.asarray(bn_s["mean"], np.float32))
+        kernel = xp.asarray(conv["kernel"], np.float32)
         shape = [1] * kernel.ndim
         shape[out_axis] = -1
-        bias = np.asarray(conv.get("bias", np.zeros(a.shape)), np.float32)
+        bias = xp.asarray(conv.get("bias", xp.zeros(a.shape)), np.float32)
         return {"kernel": kernel * a.reshape(shape), "bias": a * bias + shift}
 
     out = {}

@@ -111,11 +111,13 @@ def _torch_steps(net, batch, phase: str, steps: int):
     return losses
 
 
-def _our_steps(variables, batch, phase: str, freeze_bn: bool, steps: int):
+def _our_steps(variables, batch, phase: str, freeze_bn: bool, steps: int,
+               **trainer_kwargs):
     model = FCNLectureNet(
         TINY, reconstruction_mode=(phase == "reconstruction"),
         dtype=jnp.float32)
-    trainer = Trainer(model, LR, phase=phase, freeze_bn=freeze_bn)
+    trainer = Trainer(model, LR, phase=phase, freeze_bn=freeze_bn,
+                      **trainer_kwargs)
     state = trainer.init_state(jax.random.PRNGKey(0), variables=variables)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     losses = []
@@ -252,6 +254,32 @@ def test_binarizer_step_parity_production_widths():
     state, metrics = trainer.step(state, jb)
     np.testing.assert_allclose(float(jax.device_get(metrics["total"])),
                                ref_losses[0], rtol=5e-4)
+
+    ours_sd = flax_to_torch_state_dict(
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)})
+    _assert_state_dicts_close(ours_sd, net.state_dict(), rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("fast_kwargs", [
+    {"fold_frozen_bn": True},
+    {"fold_frozen_bn": True, "s2d_heads": True},
+], ids=["fold", "fold+s2d"])
+def test_frozen_bn_fast_paths_match_torch(fast_kwargs):
+    """The frozen-BN training fast paths — traced BN folding, and the
+    s2d-domain head convs on top — are graph rewrites of the same math:
+    the SGD trajectory must still match the torch reference within fp32
+    tolerance (slightly looser than the plain path: the fold reassociates
+    the per-channel scaling)."""
+    net = _fresh_torch_net(TINY, False, seed=66)
+    net.eval()
+    variables = torch_state_dict_to_flax(net.state_dict())
+    batch = _make_batch(166)
+
+    ref_losses = _torch_steps(net, batch, "binarizer", STEPS)
+    state, our_losses = _our_steps(variables, batch, "binarizer", True,
+                                   STEPS, **fast_kwargs)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-4, atol=1e-6)
 
     ours_sd = flax_to_torch_state_dict(
         {"params": jax.device_get(state.params),
