@@ -16,9 +16,13 @@ from ..pipeline.stages import stage01_binarize
 
 def resolve_mesh(params, config):
     """Build the device mesh a CLI run asked for (-mesh / TPU_MESH), or
-    None for the default single-device path."""
-    from ..parallel.mesh import make_mesh, mesh_spec_from
+    None for the default single-device path. Joins a multi-process mesh
+    first when the LM_COORDINATOR env contract is set (multi-host pods:
+    run the same CLI on every host with its own LM_PROCESS_ID)."""
+    from ..parallel.mesh import (initialize_distributed_from_env, make_mesh,
+                                 mesh_spec_from)
 
+    initialize_distributed_from_env()
     spec = mesh_spec_from(params, config)
     return make_mesh(spec) if spec is not None else None
 

@@ -309,7 +309,13 @@ def run_phase(config: Config, phase_name: str, dataset,
     model = FCNLectureNet(net_config,
                           reconstruction_mode=spec.reconstruction_mode)
 
-    mesh = make_mesh(mesh_spec) if mesh_spec is not None else None
+    if mesh_spec is not None:
+        from ..parallel.mesh import initialize_distributed_from_env
+
+        initialize_distributed_from_env()  # multi-host: join before devices
+        mesh = make_mesh(mesh_spec)
+    else:
+        mesh = None
     lr = config.get_float(spec.lr_key, spec.default_lr)
     epochs = epochs_override or config.get_int(spec.epochs_key,
                                                spec.default_epochs)
