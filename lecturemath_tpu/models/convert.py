@@ -175,8 +175,8 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 
     This covers the reference's TorchModelLoader role
     (AccessMath/util/torch_model_loader.py). Its CaffeModelLoader
-    counterpart is not supported: caffe isn't available in modern stacks
-    and no caffe checkpoints ship with the reference release.
+    counterpart lives in models/caffe_loader.py (a dependency-free
+    .caffemodel parser — caffe itself isn't available in modern stacks).
     """
     import torch
 
