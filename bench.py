@@ -559,15 +559,19 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
     for b in (batch_sizes[0], 32, batch_sizes[-1]):
         for variant in ("frozen", "frozen_fold", "frozen_fold_s2d"):
             sweep.append((b, "float32", variant))
+    # train-mode BN s2d path (PhaseBatchNorm) — the from-scratch lever
+    for b in (batch_sizes[0], 32, batch_sizes[-1]):
+        sweep.append((b, "float32", "train_s2d"))
     failed_dtypes = set()
     for batch, dtype, variant in sweep:
         if dtype in failed_dtypes:  # larger batches can only OOM harder
             continue
         model = FCNLectureNet(net_config,
                               dtype=jnp.bfloat16 if dtype == "bfloat16"
-                              else jnp.float32)
+                              else jnp.float32,
+                              s2d_train=(variant == "train_s2d"))
         trainer_kwargs = {}
-        if variant is not None:
+        if variant is not None and variant.startswith("frozen"):
             trainer_kwargs = {
                 "freeze_bn": True,
                 "fold_frozen_bn": "fold" in variant,
@@ -629,11 +633,11 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
                 failed_dtypes.add(dtype)
 
     # headline matches the metric label (fp32 train-mode BN — training from
-    # scratch, what the train CLIs run cold); the warm-start frozen-BN fast
-    # path (the production fine-tune mode) is reported separately
+    # scratch, what the train CLIs run cold; train_s2d is their default
+    # path); the warm-start frozen-BN fast path is reported separately
     ok = [e for e in per_batch
           if "error" not in e and e["dtype"] == "float32"
-          and e["bn"] == "train"]
+          and e["bn"] in ("train", "train_s2d")]
     best = max(ok, key=lambda e: e["images_per_sec"]) if ok else None
     frozen = [e for e in per_batch if "error" not in e
               and e["bn"].startswith("frozen")]

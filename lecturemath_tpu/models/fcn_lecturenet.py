@@ -272,6 +272,106 @@ class TorchBatchNorm(nn.Module):
         return (xf - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
 
 
+class PhaseBatchNorm(nn.Module):
+    """TorchBatchNorm over a space-to-depth tensor: the input
+    (B, h, w, phases*C) holds `phases` spatial positions per canonical
+    channel c, so the statistics reduce over (B, h, w, phase) per channel —
+    exactly the same value set as the plain layout's (B, H, W) reduction.
+    Params/collections match TorchBatchNorm (scale/bias + mean/var of
+    shape (C,)), so checkpoints are layout-independent."""
+    phases: int
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1] // self.phases
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        b, h, w, _ = x.shape
+        xf = x.astype(self.dtype).reshape(b, h, w, self.phases, features)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = (0, 1, 2, 3)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if not self.is_initializing():
+                n = float(b * h * w * self.phases)
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * unbiased)
+        y = (xf - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
+        return y.reshape(b, h, w, self.phases * features)
+
+
+class _S2DConvBNParts(nn.Module):
+    """ConvBNAct's conv+BN computed in space-to-depth(block) domain over
+    channel-split input parts (each already in s2d layout). Registers the
+    exact ConvBNAct parameter structure ('conv' {kernel, bias} + 'bn'
+    {scale, bias} / batch_stats {mean, var}), so checkpoints interchange
+    with the plain modules. Activation is applied by the caller."""
+    features: int
+    kernel: int
+    block: int
+    splits: Tuple[int, ...]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts, train: bool):
+        ck, cb = _ConvParams((self.kernel, self.kernel, sum(self.splits),
+                              self.features), name="conv")()
+        kernels = []
+        start = 0
+        for width in self.splits:
+            kernels.append(ck[:, :, start:start + width])
+            start += width
+        h = _s2d_conv_parts(parts, kernels, cb, self.block, self.dtype)
+        return PhaseBatchNorm(self.block ** 2,
+                              use_running_average=not train,
+                              dtype=jnp.float32, name="bn")(h)
+
+
+class _S2DUpBlockTrain(nn.Module):
+    """UpBlock in space-to-depth(2) domain WITH live BatchNorm (train or
+    eval): the stride-2 2x2 deconv is one matmul whose output IS the s2d(2)
+    layout (as in _S2DUpBlock), followed by PhaseBatchNorm + GELU, then the
+    conv block over [upsampled, skip] parts. Parameter structure identical
+    to UpBlock."""
+    upsample_features: int
+    conv_features: int
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip_s, train: bool):
+        dt = self.dtype
+        in_features = x.shape[-1]
+        up = self.upsample_features
+        dk, db = _ConvParams((2, 2, up, in_features), bias_size=up,
+                             name="deconv")()
+        w1 = jnp.transpose(dk.astype(dt), (3, 0, 1, 2)).reshape(in_features,
+                                                                4 * up)
+        y = jnp.dot(x.astype(dt), w1) + jnp.tile(db.astype(dt), 4)
+        y = PhaseBatchNorm(4, use_running_average=not train,
+                           dtype=jnp.float32, name="bn")(y)
+        y = nn.gelu(y, approximate=False).astype(dt)
+
+        skip_features = skip_s.shape[-1] // 4
+        h = _S2DConvBNParts(self.conv_features, self.kernel, 2,
+                            (up, skip_features), dtype=dt,
+                            name="conv_block")([y, skip_s], train)
+        return nn.gelu(h, approximate=False).astype(dt)
+
+
 class ConvBNAct(nn.Module):
     """conv(k, same) + BatchNorm + optional exact GELU.
 
@@ -348,6 +448,13 @@ class FCNLectureNet(nn.Module):
     # k'=5 (2.04x structural-zero FLOPs); block 4 remaps to k'=3 (2.94x)
     # but k'=3 convs run at a higher achieved MXU rate — measure per chip.
     heads_block: int = 2
+    # training-time s2d: run the full-resolution portions (down_1, up_1,
+    # all heads) in space-to-depth(2) domain with LIVE BatchNorm
+    # (PhaseBatchNorm reduces over the phase axis, so statistics equal the
+    # plain layout's). Same parameters, same math — usable with train-mode
+    # BN, unlike the fold_bn fast path. Requires H, W % 32 == 0 and
+    # pixel_kernel >= kernel; parity-tested vs torch in test_train_parity.
+    s2d_train: bool = False
 
     @nn.compact
     def __call__(self, x0, train: bool = False, mode: str = "full"):
@@ -371,6 +478,13 @@ class FCNLectureNet(nn.Module):
                 and cfg.pixel_kernel_size >= cfg.kernel_size
                 and x0.shape[1] % 32 == 0 and x0.shape[2] % 32 == 0):
             return self._s2d_fast_forward(cfg, x0)
+
+        if (self.s2d_train and not self.fold_bn and not self.s2d_heads
+                and mode == "full"
+                and cfg.pixel_kernel_size > 1
+                and cfg.pixel_kernel_size >= cfg.kernel_size
+                and x0.shape[1] % 32 == 0 and x0.shape[2] % 32 == 0):
+            return self._s2d_train_forward(cfg, x0, train)
 
         x = x0.astype(dt)
 
@@ -452,6 +566,88 @@ class FCNLectureNet(nn.Module):
                                       dtype=jnp.float32, name="out_bn")(bin_logits)
 
         return bin_logits, text_logits, rec
+
+    def _s2d_train_forward(self, cfg, x0, train: bool):
+        """Training forward with the full-resolution compute in
+        space-to-depth(2) domain and LIVE BatchNorm: down_1 (conv+PhaseBN+
+        GELU, pool = phase max), plain train-mode modules for levels 2..5 /
+        mid / up_5..2, up_1 as the matmul deconv + PhaseBN, and the whole
+        head pipeline in s2d(2) with PhaseBatchNorm per head. Statistics
+        reduce over (B, h, w, phase) — the same value set as the plain
+        layout — so the SGD trajectory matches the plain path / torch
+        within fp32 association error (test_train_parity).
+
+        Measured motivation (PARITY.md training roofline): the from-scratch
+        pretrain phases are bound by narrow-channel full-res convs and BN
+        traffic; the s2d layout widens them 4x."""
+        dt = self.dtype
+        k = cfg.kernel_size
+        pk = cfg.pixel_kernel_size
+        c_in = cfg.in_channels
+        up1 = cfg.up_filters[0]
+        p1_n, p2_n = cfg.pixel_features
+
+        x0_s = _space_to_depth(x0.astype(dt), 2)
+        batch, h2, w2, _ = x0_s.shape
+
+        h = _S2DConvBNParts(cfg.down_filters[0], k, 2, (c_in,), dtype=dt,
+                            name="down_1")([x0_s], train)
+        skip1_s = nn.gelu(h, approximate=False).astype(dt)
+        x = skip1_s.reshape(batch, h2, w2, 4,
+                            cfg.down_filters[0]).max(axis=3)
+
+        skips = [None]
+        for level, features in enumerate(cfg.down_filters[1:], start=2):
+            pre = ConvBNAct(features, k, dtype=dt,
+                            name=f"down_{level}")(x, train)
+            skips.append(pre)
+            x = nn.max_pool(pre, (2, 2), strides=(2, 2))
+        x = ConvBNAct(cfg.mid_filters, k, dtype=dt, name="mid")(x, train)
+
+        for level in range(5, 1, -1):
+            x = UpBlock(cfg.upsample_filters[level - 1],
+                        cfg.up_filters[level - 1], k, dtype=dt,
+                        name=f"up_{level}")(x, skips[level - 1], train)
+
+        xup_s = _S2DUpBlockTrain(cfg.upsample_filters[0], up1, k, dtype=dt,
+                                 name="up_1")(x, skip1_s, train)
+
+        rec_k, rec_b = _ConvParams((k, k, up1, c_in), name="rec_conv")()
+        rec_s = _s2d_conv_parts([xup_s], [rec_k], rec_b, 2, dt)
+        rec_s = PhaseBatchNorm(4, use_running_average=not train,
+                               name="rec_bn")(rec_s)
+        rec_s = jnp.tanh(rec_s).astype(dt)
+        if self.reconstruction_mode:
+            return _depth_to_space(rec_s, 2, c_in)
+
+        text_k, text_b = _ConvParams((pk, pk, up1, 1), name="text_conv")()
+        text_s = _s2d_conv_parts([xup_s], [text_k], text_b, 2, dt)
+        text_s = PhaseBatchNorm(4, use_running_average=not train,
+                                name="text_bn")(text_s)
+
+        sig = jax.nn.sigmoid(text_s).astype(dt)
+        diff_s = ((x0_s.reshape(batch, h2, w2, 4, c_in)
+                   - rec_s.reshape(batch, h2, w2, 4, c_in))
+                  * sig.reshape(batch, h2, w2, 4, 1))
+        diff_s = diff_s.reshape(batch, h2, w2, 4 * c_in)
+
+        h = _S2DConvBNParts(p1_n, pk, 2, (c_in, up1), dtype=dt,
+                            name="pixels_1")([diff_s, xup_s], train)
+        h = nn.gelu(h, approximate=False).astype(dt)
+        h = _S2DConvBNParts(p2_n, pk, 2, (c_in, p1_n), dtype=dt,
+                            name="pixels_2")([diff_s, h], train)
+        h = nn.gelu(h, approximate=False).astype(dt)
+
+        out_k, out_b = _ConvParams((pk, pk, c_in + p2_n, 1),
+                                   name="out_conv")()
+        bin_s = _s2d_conv_parts([diff_s, h],
+                                [out_k[:, :, :c_in], out_k[:, :, c_in:]],
+                                out_b, 2, dt)
+        bin_s = PhaseBatchNorm(4, use_running_average=not train,
+                               name="out_bn")(bin_s)
+
+        return (_depth_to_space(bin_s, 2, 1), _depth_to_space(text_s, 2, 1),
+                _depth_to_space(rec_s, 2, c_in))
 
     def _s2d_fast_forward(self, cfg, x0):
         """Full inference forward with the full-resolution compute in

@@ -306,8 +306,14 @@ def run_phase(config: Config, phase_name: str, dataset,
     """
     spec = PHASES[phase_name]
     net_config = FCNConfig.from_config(config)
+    # from-scratch (train-mode BN) phases default to the s2d training
+    # forward (PhaseBatchNorm; 231 -> 293 img/s at batch 64 fp32 on v5e,
+    # +78% at batch 8; torch step parity in test_train_parity).
+    # TRAIN_S2D = 0 opts out; the model gate falls back to the plain path
+    # automatically when the crop isn't 32-divisible or pixel_k < k.
     model = FCNLectureNet(net_config,
-                          reconstruction_mode=spec.reconstruction_mode)
+                          reconstruction_mode=spec.reconstruction_mode,
+                          s2d_train=config.get_bool("TRAIN_S2D", True))
 
     if mesh_spec is not None:
         from ..parallel.mesh import initialize_distributed_from_env

@@ -285,3 +285,30 @@ def test_frozen_bn_fast_paths_match_torch(fast_kwargs):
         {"params": jax.device_get(state.params),
          "batch_stats": jax.device_get(state.batch_stats)})
     _assert_state_dicts_close(ours_sd, net.state_dict(), rtol=2e-3, atol=1e-5)
+
+
+def test_s2d_train_mode_matches_torch():
+    """The s2d TRAIN-mode path (PhaseBatchNorm: live batch statistics
+    reduced over the phase axis) takes the same SGD trajectory as torch —
+    params AND updated running stats — within fp32 association error."""
+    net = _fresh_torch_net(TINY, False, seed=77)
+    net.train()
+    variables = torch_state_dict_to_flax(net.state_dict())
+    batch = _make_batch(177)
+
+    ref_losses = _torch_steps(net, batch, "binarizer", STEPS)
+
+    model = FCNLectureNet(TINY, dtype=jnp.float32, s2d_train=True)
+    trainer = Trainer(model, LR, phase="binarizer")
+    state = trainer.init_state(jax.random.PRNGKey(0), variables=variables)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    our_losses = []
+    for _ in range(STEPS):
+        state, metrics = trainer.step(state, jb)
+        our_losses.append(float(jax.device_get(metrics["total"])))
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-4, atol=1e-6)
+
+    ours_sd = flax_to_torch_state_dict(
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)})
+    _assert_state_dicts_close(ours_sd, net.state_dict(), rtol=2e-3, atol=1e-5)
