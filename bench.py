@@ -562,9 +562,11 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
     # train-mode BN s2d path (PhaseBatchNorm) — the from-scratch lever
     for b in (batch_sizes[0], 32, batch_sizes[-1]):
         sweep.append((b, "float32", "train_s2d"))
-    failed_dtypes = set()
+    failed_keys = set()
     for batch, dtype, variant in sweep:
-        if dtype in failed_dtypes:  # larger batches can only OOM harder
+        # larger batches can only OOM harder WITHIN one (dtype, variant)
+        # sweep; a plain-fp32 OOM must not skip the lighter variant entries
+        if (dtype, variant) in failed_keys:
             continue
         model = FCNLectureNet(net_config,
                               dtype=jnp.bfloat16 if dtype == "bfloat16"
@@ -629,8 +631,7 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
             per_batch.append({"batch": batch, "dtype": dtype,
                               "bn": variant or "train",
                               "error": type(err).__name__})
-            if variant is None:
-                failed_dtypes.add(dtype)
+            failed_keys.add((dtype, variant))
 
     # headline matches the metric label (fp32 train-mode BN — training from
     # scratch, what the train CLIs run cold; train_s2d is their default

@@ -20,11 +20,15 @@ def resolve_mesh(params, config):
     first when the LM_COORDINATOR env contract is set (multi-host pods:
     run the same CLI on every host with its own LM_PROCESS_ID)."""
     from ..parallel.mesh import (initialize_distributed_from_env, make_mesh,
-                                 mesh_spec_from)
+                                 mesh_spec_from, warmup_collectives)
 
     initialize_distributed_from_env()
     spec = mesh_spec_from(params, config)
-    return make_mesh(spec) if spec is not None else None
+    if spec is None:
+        return None
+    mesh = make_mesh(spec)
+    warmup_collectives(mesh)  # pre-create cross-process communicators
+    return mesh
 
 
 def main(argv=None):

@@ -79,7 +79,20 @@ def _parse_blob(buf: bytes) -> np.ndarray:
     data: List[np.ndarray] = []
     for field, wire, value in iter_fields(buf):
         if field == 7 and wire == 2:  # BlobShape
-            shape = [v for f, _, v in iter_fields(value) if f == 1]
+            # caffe.proto: repeated int64 dim = 1 [packed = true] — real
+            # caffe writes ONE length-delimited record of varints; accept
+            # the unpacked per-element encoding too
+            shape = []
+            for f, w, v in iter_fields(value):
+                if f != 1:
+                    continue
+                if w == 2:  # packed
+                    pos = 0
+                    while pos < len(v):
+                        dim, pos = _read_varint(v, pos)
+                        shape.append(dim)
+                else:
+                    shape.append(v)
         elif field in (1, 2, 3, 4) and wire == 0:  # num/channels/h/w
             legacy[field] = value
         elif field == 5:

@@ -806,9 +806,13 @@ def fold_batch_norms(variables, eps: float = 1e-5, xp=None):
         return {"kernel": kernel * a.reshape(shape), "bias": a * bias + shift}
 
     out = {}
+    # reconstruction-mode checkpoints lack the text/pixel/out heads (the
+    # forward returns before registering them) — fold what exists
     plain = [f"down_{i}" for i in range(1, 6)] + ["mid", "pixels_1",
                                                   "pixels_2"]
     for name in plain:
+        if name not in params:
+            continue
         out[name] = {"conv": folded(params[name]["conv"],
                                     params[name]["bn"], stats[name]["bn"])}
     for i in range(1, 6):
@@ -824,8 +828,9 @@ def fold_batch_norms(variables, eps: float = 1e-5, xp=None):
     for conv_name, bn_name in (("rec_conv", "rec_bn"),
                                ("text_conv", "text_bn"),
                                ("out_conv", "out_bn")):
-        out[conv_name] = folded(params[conv_name], params[bn_name],
-                                stats[bn_name])
+        if conv_name in params:
+            out[conv_name] = folded(params[conv_name], params[bn_name],
+                                    stats[bn_name])
     return {"params": out}
 
 

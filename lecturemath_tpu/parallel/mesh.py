@@ -97,6 +97,21 @@ def put_with_sharding(x: Any, sharding: NamedSharding) -> Any:
     return jax.device_put(x, sharding)
 
 
+def local_row_slice(n_rows: int) -> slice:
+    """The contiguous batch-row range this process owns under a
+    'data'-major mesh built from jax.devices(): process devices are
+    contiguous in enumeration order, so process i owns rows
+    [i*n/P, (i+1)*n/P). Lets every host hold the SAME global batch and
+    feed only its share (each sample enters the global batch once)."""
+    count = jax.process_count()
+    index = jax.process_index()
+    if n_rows % count:
+        raise ValueError(f"batch of {n_rows} rows does not divide across "
+                         f"{count} processes")
+    base = n_rows // count
+    return slice(index * base, (index + 1) * base)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Put a host batch (or pytree of arrays) with leading batch axis onto
     the mesh, sharded over 'data'. In multi-process runs each process
@@ -148,6 +163,41 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: put_with_sharding(x, sharding), tree)
 
 
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish every cross-process communicator the mesh's collectives
+    will use, up front, with a trivial program.
+
+    Communicator creation is lazy (first collective over a device group
+    does a key-value rendezvous through the coordination service) and the
+    rendezvous has a hard ~30 s deadline — far shorter than a large jit
+    compile. If one host finishes compiling a big step and dispatches its
+    first collective while a peer is still compiling, the rendezvous times
+    out and the job dies. Running per-axis + global psums from a program
+    that compiles in seconds creates all the device-group contexts while
+    host skew is still small; the big steps then reuse them, and peers can
+    lag each other by whole compile times without a rendezvous in flight.
+
+    No-op single-process (groups are intra-process, rendezvous is local)."""
+    if jax.process_count() <= 1:
+        return
+    from functools import partial
+
+    from jax import lax
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=P("data", "model"),
+             out_specs=P())
+    def _warm(v):
+        return (lax.psum(lax.psum(v, "data"), "model")
+                + lax.psum(v, ("data", "model")))
+
+    x = np.zeros((mesh.shape["data"], mesh.shape["model"]), np.float32)
+    out = _warm(put_with_sharding(x, NamedSharding(mesh, P("data",
+                                                           "model"))))
+    jax.block_until_ready(out)
+
+
 def initialize_distributed_from_env() -> bool:
     """Join a multi-process (multi-host) mesh when the LM_COORDINATOR /
     LM_NUM_PROCESSES / LM_PROCESS_ID environment variables are set; no-op
@@ -164,6 +214,15 @@ def initialize_distributed_from_env() -> bool:
     coordinator = os.environ.get("LM_COORDINATOR")
     if not coordinator:
         return jax.process_count() > 1
+    # idempotent: chained phases / repeated CLI mesh resolution must not
+    # re-initialize (jax.distributed.initialize raises on a second call)
+    try:
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return True
+    except (ImportError, AttributeError):
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=int(os.environ["LM_NUM_PROCESSES"]),

@@ -118,6 +118,7 @@ class Binarizer:
         self.model = model
         self.mesh = mesh
         self._input_sharding = None
+        self._replicate_fn = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -210,29 +211,40 @@ class Binarizer:
     # ------------------------------------------------------------ inference
 
     def _to_device(self, frames):
+        """Multi-process contract: every host passes the SAME global batch
+        (all hosts decode the same video); this host's contiguous row share
+        is sliced out here, so each frame is computed exactly once across
+        the pod."""
         if self._input_sharding is None:
             return jnp.asarray(frames)
-        from ..parallel.mesh import put_with_sharding
+        from ..parallel.mesh import local_row_slice, put_with_sharding
 
-        return put_with_sharding(np.asarray(frames), self._input_sharding)
+        frames = np.asarray(frames)
+        if jax.process_count() > 1:
+            frames = frames[local_row_slice(len(frames))]
+        return put_with_sharding(frames, self._input_sharding)
 
-    @staticmethod
-    def _fetch(array) -> np.ndarray:
-        """device_get that also works on multi-process global arrays: each
-        host fetches (only) the frame rows it owns — the batch axis is
-        'data'-sharded, so addressable shards are whole frames."""
+    def _fetch(self, array) -> np.ndarray:
+        """device_get that also works on multi-process global arrays: the
+        output is all-gathered to a fully-replicated layout first (the
+        packed binary is ~HW/8 bytes per frame, so replication is cheap),
+        and EVERY host receives all frames — the host-side stages
+        (tracking, artifacts, export) then proceed identically on each."""
         if jax.process_count() > 1 and not array.is_fully_addressable:
-            by_row = {}  # dedup: the model axis replicates each row range
-            for shard in array.addressable_shards:
-                by_row.setdefault(shard.index[0].start or 0, shard.data)
-            return np.concatenate([np.asarray(by_row[k])
-                                   for k in sorted(by_row)])
+            if self._replicate_fn is None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._replicate_fn = jax.jit(
+                    lambda x: x,
+                    out_shardings=NamedSharding(self.mesh, P()))
+            array = self._replicate_fn(array)
         return np.asarray(jax.device_get(array))
 
     def binarize_frames(self, frames: np.ndarray) -> np.ndarray:
         """uint8 RGB [B, H, W, 3] -> uint8 binary [B, H, W] in the raw model
         polarity (a trained model emits ink=0 on a 255 background). In
-        multi-process runs, in and out are this host's local frame rows."""
+        multi-process runs every host passes the same global batch and
+        receives the full output (see _to_device/_fetch)."""
         binary, _, _ = self._binarize_fn(self._to_device(frames))
         return self._fetch(binary)
 
@@ -261,7 +273,7 @@ class Binarizer:
 
         def drain(entry):
             device_binary, batch = entry
-            host = np.asarray(jax.device_get(device_binary))
+            host = self._fetch(device_binary)
             if use_packed:
                 host = unpack_bits_host(host, model_size[0])
             frames = []

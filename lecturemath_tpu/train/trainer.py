@@ -115,10 +115,18 @@ class Trainer:
         )
 
     def shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
-        """Multi-process runs pass each host's LOCAL batch rows (see
-        parallel.mesh.put_with_sharding: host-local batching)."""
+        """Callers always pass the GLOBAL batch. Multi-process runs (every
+        host builds the same deterministic batch — the dataset RNG is
+        seeded) slice this host's contiguous row share here before device
+        placement, so each sample enters the global batch exactly once
+        (host-local batching without a per-host data-loader split)."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
+        if jax.process_count() > 1:
+            from ..parallel.mesh import local_row_slice
+
+            rows = local_row_slice(len(next(iter(batch.values()))))
+            batch = {k: np.asarray(v)[rows] for k, v in batch.items()}
         sharding = NamedSharding(self.mesh, P("data"))
         return {k: put_with_sharding(v, sharding) for k, v in batch.items()}
 
@@ -316,10 +324,12 @@ def run_phase(config: Config, phase_name: str, dataset,
                           s2d_train=config.get_bool("TRAIN_S2D", True))
 
     if mesh_spec is not None:
-        from ..parallel.mesh import initialize_distributed_from_env
+        from ..parallel.mesh import (initialize_distributed_from_env,
+                                     warmup_collectives)
 
         initialize_distributed_from_env()  # multi-host: join before devices
         mesh = make_mesh(mesh_spec)
+        warmup_collectives(mesh)  # pre-create cross-process communicators
     else:
         mesh = None
     lr = config.get_float(spec.lr_key, spec.default_lr)

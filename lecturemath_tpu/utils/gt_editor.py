@@ -114,11 +114,13 @@ class GTEditorSession:
     def reject_portion(self, kf_idx: int, portion_index: int) -> None:
         """Reject a content portion: clear its pixels to background and
         drop it from the portion list (the accept/reject loop of the
-        reference annotators; accepted portions are simply kept)."""
+        reference annotators; accepted portions are simply kept). Portion
+        binaries are ink=0/bg=255 regardless of the Dark flag (Dark only
+        records the board tone), so clearing is always erase=True."""
         kf = self._kf(kf_idx)
         portion = kf.portions[portion_index]
         self.fill_rect(kf_idx, portion.x, portion.y, portion.w, portion.h,
-                       erase=not portion.dark)
+                       erase=True)
         del kf.portions[portion_index]
 
     def undo(self, kf_idx: int) -> bool:

@@ -22,7 +22,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from lecturemath_tpu.parallel.mesh import (MeshSpec,  # noqa: E402
                                            initialize_distributed_from_env,
-                                           make_mesh)
+                                           make_mesh, warmup_collectives)
 
 assert initialize_distributed_from_env()
 PROC_ID = int(os.environ["LM_PROCESS_ID"])
@@ -38,23 +38,37 @@ def main():
     assert jax.process_count() == 2
     assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
     mesh = make_mesh(MeshSpec(data=4, model=2))
+    # establish all cross-process Gloo contexts while host skew is small:
+    # the communicator rendezvous has a ~30 s deadline, far shorter than
+    # the big train-step compile that follows on this 1-core VM
+    warmup_collectives(mesh)
 
-    # dp x tp training: global batch 8, this host feeds ITS 4 rows
+    # dp x tp training: every host passes the SAME global batch of 8; the
+    # Trainer slices this host's 4 rows internally (host-local batching)
     batch = make_train_batch()
-    local_batch = {k: v[PROC_ID * 4:(PROC_ID + 1) * 4]
-                   for k, v in batch.items()}
-    losses = run_training(mesh, local_batch)
+    losses = run_training(mesh, batch)
 
-    # frame-sharded inference: global batch of 8 frames, 4 per host
+    # frame-sharded inference: global batch of 8 frames in, FULL binary
+    # output back on every host (all-gathered packed result)
     frames = make_frames()
-    local_binary = run_inference(mesh, frames[PROC_ID * 4:(PROC_ID + 1) * 4])
+    binary = run_inference(mesh, frames)
 
-    np.save(os.environ["LM_OUT_PATH"] + ".npy", local_binary)
+    np.save(os.environ["LM_OUT_PATH"] + ".npy", binary)
     with open(os.environ["LM_OUT_PATH"], "w") as f:
         json.dump({"process_id": PROC_ID, "losses": losses,
                    "n_devices": len(jax.devices()),
                    "n_local": len(jax.local_devices())}, f)
     print(f"[proc {PROC_ID}] done: losses={losses}", flush=True)
+
+    # reach the coordination-service shutdown barrier TOGETHER: on this
+    # 1-core VM compile skew between the hosts can exceed the 30 s shutdown
+    # barrier window if each process exits (atexit shutdown) on its own
+    # schedule — a cross-process sync right before an explicit shutdown
+    # bounds the skew to milliseconds
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("lm_mp_worker_done")
+    jax.distributed.shutdown()
 
 
 if __name__ == "__main__":

@@ -33,10 +33,10 @@ def make_frames(n: int = 8):
     return rgb
 
 
-def run_training(mesh, local_batch):
+def run_training(mesh, batch):
     """TRAIN_STEPS dp x tp SGD steps; returns the per-step total losses.
-    ``local_batch`` holds the rows THIS process feeds (all rows when
-    single-process)."""
+    ``batch`` is the GLOBAL batch — identical on every host; multi-process
+    runs slice each host's row share inside Trainer.shard_batch."""
     import jax
     import jax.numpy as jnp
 
@@ -48,14 +48,16 @@ def run_training(mesh, local_batch):
     state = trainer.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
     losses = []
     for _ in range(TRAIN_STEPS):
-        state, metrics = trainer.step(state, local_batch)
+        state, metrics = trainer.step(state, batch)
         losses.append(float(jax.device_get(metrics["total"])))
     return losses
 
 
-def run_inference(mesh, local_frames):
+def run_inference(mesh, frames):
     """Frame-sharded binarization over the mesh with the deterministic
-    threshold-head checkpoint; returns this process's binary rows."""
+    threshold-head checkpoint. ``frames`` is the GLOBAL batch (same on
+    every host); every host receives the FULL binary output (the Binarizer
+    all-gathers the packed result so host-side stages stay identical)."""
     import jax.numpy as jnp
 
     from lecturemath_tpu.models.fcn_lecturenet import FCNLectureNet
@@ -64,6 +66,6 @@ def run_inference(mesh, local_frames):
 
     model = FCNLectureNet(NET_CONFIG, dtype=jnp.float32)
     variables = threshold_binarizer_variables(NET_CONFIG)
-    binarizer = Binarizer(model, variables, batch_size=len(local_frames),
+    binarizer = Binarizer(model, variables, batch_size=len(frames),
                           mesh=mesh, upload_format="rgb")
-    return binarizer.binarize_frames(local_frames)
+    return binarizer.binarize_frames(frames)

@@ -41,12 +41,18 @@ def _message(number: int, body: bytes) -> bytes:
     return _field(number, 2, _varint(len(body)) + body)
 
 
-def _blob(array: np.ndarray, legacy_dims: bool = False) -> bytes:
+def _blob(array: np.ndarray, dims: str = "packed") -> bytes:
     body = b""
-    if legacy_dims:
+    if dims == "legacy":
         for field_num, dim in zip((1, 2, 3, 4), array.shape):
             body += _field(field_num, 0, _varint(dim))
-    else:
+    elif dims == "packed":
+        # caffe.proto: repeated int64 dim = 1 [packed = true] — what real
+        # caffe writes: ONE length-delimited record of varints
+        packed_dims = b"".join(_varint(d) for d in array.shape)
+        body += _message(7, _field(1, 2, _varint(len(packed_dims))
+                                   + packed_dims))
+    else:  # unpacked per-element varints (also legal on the wire)
         shape_body = b"".join(_field(1, 0, _varint(d)) for d in array.shape)
         body += _message(7, shape_body)
     packed = array.astype("<f4").tobytes()
@@ -54,11 +60,14 @@ def _blob(array: np.ndarray, legacy_dims: bool = False) -> bytes:
     return body
 
 
-def _make_caffemodel(path: str, conv_w, conv_b, legacy_blob=False) -> None:
+def _make_caffemodel(path: str, conv_w, conv_b, dims="packed") -> None:
+    # the bias stays new-style even in the legacy case: caffe's old 4-D
+    # blobs would pad a (4,) bias to (4,1,1,1), which is a different
+    # (also-valid) shape — the kernel blob is the legacy case under test
     conv_layer = (_string(1, "conv1") + _string(2, "Convolution")
                   + _string(3, "data") + _string(4, "conv1")
-                  + _message(7, _blob(conv_w, legacy_blob))
-                  + _message(7, _blob(conv_b)))
+                  + _message(7, _blob(conv_w, dims))
+                  + _message(7, _blob(conv_b, "packed")))
     relu_layer = _string(1, "relu1") + _string(2, "ReLU")
     net = (_string(1, "TinyNet") + _message(100, conv_layer)
            + _message(100, relu_layer))
@@ -66,14 +75,13 @@ def _make_caffemodel(path: str, conv_w, conv_b, legacy_blob=False) -> None:
         f.write(net)
 
 
-@pytest.mark.parametrize("legacy_blob", [False, True],
-                         ids=["blobshape", "legacy_nchw"])
-def test_caffemodel_round_trip(tmp_path, legacy_blob):
+@pytest.mark.parametrize("dims", ["packed", "unpacked", "legacy"])
+def test_caffemodel_round_trip(tmp_path, dims):
     rng = np.random.default_rng(3)
     conv_w = rng.normal(0, 1, (4, 3, 3, 3)).astype(np.float32)  # OIHW
     conv_b = rng.normal(0, 1, (4,)).astype(np.float32)
     path = str(tmp_path / "tiny.caffemodel")
-    _make_caffemodel(path, conv_w, conv_b, legacy_blob)
+    _make_caffemodel(path, conv_w, conv_b, dims)
 
     net = load_caffemodel(path)
     assert net["name"] == "TinyNet"

@@ -192,3 +192,18 @@ def test_http_editor_surface(workspace):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_reject_dark_portion_clears_to_background(workspace):
+    """Dark portions (Dark=1 records the board tone; the portion binary is
+    still ink=0/bg=255) must ALSO clear to background on reject — a
+    polarity inversion here would paint the whole rectangle solid ink."""
+    session = GTEditorSession(workspace["prefix"])
+    kf0 = workspace["indices"][0]
+    assert session.portions(kf0)
+    session._kf(kf0).portions[0].dark = True  # reference-annotator flag
+    target = session.portions(kf0)[0]
+    session.reject_portion(kf0, 0)
+    region = session.binary(kf0)[target["y"]:target["y"] + target["h"],
+                                 target["x"]:target["x"] + target["w"]]
+    assert (region == 255).all()
