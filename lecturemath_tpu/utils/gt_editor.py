@@ -1,14 +1,18 @@
-"""Minimal interactive ground-truth editor: pixel paint/erase and
-portion accept/reject over a GT annotation tree, with a local-browser
-canvas UI.
+"""Minimal interactive ground-truth editor: pixel paint/erase, portion
+accept/reject, and threshold-surface binarization over a GT annotation
+tree, with a local-browser canvas UI.
 
 This is the launchable equivalent of the reference's interactive pixel
 annotators (reference: AccessMath/annotation/gt_pixel_binary_annotator.py:1
 — 1,569 LoC pygame paint loop — and gt_binary_annotator.py:1, 1,778 LoC):
-view a keyframe, paint/erase binary pixels, reject content portions, and
-save the SAME XML/PNG tree the reference GUIs and our
-eval/gt_authoring.export_gt_tree write (segments.xml is left untouched;
-binary/, portions/, portions.xml, and unique_ccs.xml are rewritten).
+view a keyframe, paint/erase binary pixels, reject content portions, tune
+a spatially-varying binarization threshold (ThresholdTool — the
+GTBinaryAnnotator workflow: placed (x, y, threshold) points, KNN
+inverse-distance surface, ink = preprocessed-gray <= surface), preview /
+apply the classical binarization methods, and save the SAME XML/PNG tree
+the reference GUIs and our eval/gt_authoring.export_gt_tree write
+(segments.xml is left untouched; binary/, portions/, portions.xml, and
+unique_ccs.xml are rewritten).
 
 The edit loop is a headless-testable session object (GTEditorSession); the
 UI is a thin stdlib HTTP server + embedded canvas page (`serve`), launched
@@ -22,6 +26,164 @@ import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+class ThresholdTool:
+    """Spatially-varying threshold binarization of one keyframe — the
+    workflow of the reference's GTBinaryAnnotator
+    (gt_binary_annotator.py:32,867,985,1057-1135), re-designed as a
+    headless state object:
+
+      * preprocess: optional bilateral smoothing, optional median-blur
+        background subtraction (keeping writing darker than background;
+        ``is_dark`` flips the polarity for chalkboards), grayscale
+        (update_base_images step -1, :1057-1095).
+      * user-placed (x, y, threshold) points; the threshold SURFACE is the
+        inverse-distance-weighted mean of each pixel's K nearest labeled
+        points (exact at the points themselves) — the same propagation as
+        the reference's KNN cache (:1146-1176), computed with one KD-tree
+        query instead of its per-pixel loop.
+      * binary: ink where gray <= surface (ink=0 on 255 background, the GT
+        convention, :1130-1135), then small-CC noise filtering
+        (:1143-1171) via ops.classical.filter_small_ccs.
+
+    The grid initializer places (rows+1) x (cols+1) points with per-cell
+    Otsu thresholds (flat cells fall back to "no ink"), standing in for
+    generate_initial_gt_adaptive_otsu (:1422-1537)."""
+
+    def __init__(self, raw_rgb: np.ndarray, is_dark: bool = False,
+                 median_k: int = 1, sigma_color: float = 0.0,
+                 sigma_space: float = 1.0, knn_k: int = 4,
+                 noise_size: int = 0):
+        self.raw = raw_rgb
+        self.is_dark = bool(is_dark)
+        self.median_k = int(median_k)
+        self.sigma_color = float(sigma_color)
+        self.sigma_space = float(sigma_space)
+        self.knn_k = max(1, int(knn_k))
+        self.noise_size = int(noise_size)
+        self.points: List[List[float]] = []       # [x, y]
+        self.thresholds: List[float] = []
+        self._gray: Optional[np.ndarray] = None
+
+    # -- preprocessing ----------------------------------------------------
+
+    def gray(self) -> np.ndarray:
+        """Preprocessed grayscale with writing darker than background."""
+        if self._gray is not None:
+            return self._gray
+        import cv2
+
+        img = self.raw
+        if self.sigma_color > 0:
+            img = cv2.bilateralFilter(img, -1, self.sigma_color,
+                                      self.sigma_space)
+        if self.median_k > 1:
+            background = cv2.medianBlur(img, self.median_k)
+            diff = img.astype(np.int32) - background.astype(np.int32)
+            if self.is_dark:
+                diff[diff < 0] = 0
+            else:
+                diff[diff > 0] = 0
+                diff = np.abs(diff)
+            gray = (255 - diff.max(axis=2)).astype(np.uint8)
+        else:
+            gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+            if self.is_dark:
+                gray = 255 - gray
+        self._gray = gray
+        return gray
+
+    def invalidate(self) -> None:
+        self._gray = None
+
+    # -- points -----------------------------------------------------------
+
+    def init_grid(self, rows: int = 4, cols: int = 4) -> int:
+        """Reset to a (rows+1) x (cols+1) point grid with per-cell Otsu
+        initial thresholds; returns the point count."""
+        import cv2
+
+        gray = self.gray()
+        h, w = gray.shape
+        self.points, self.thresholds = [], []
+        for r in range(rows + 1):
+            y = round(r * (h - 1) / rows)
+            for c in range(cols + 1):
+                x = round(c * (w - 1) / cols)
+                y0, y1 = max(0, y - h // rows), min(h, y + h // rows + 1)
+                x0, x1 = max(0, x - w // cols), min(w, x + w // cols + 1)
+                cell = gray[y0:y1, x0:x1]
+                if cell.std() < 5.0:   # flat cell: background, no ink
+                    value = max(0.0, float(cell.min()) - 1.0)
+                else:
+                    value, _ = cv2.threshold(
+                        cell, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+                self.points.append([float(x), float(y)])
+                self.thresholds.append(float(value))
+        return len(self.points)
+
+    def add_point(self, x: float, y: float,
+                  value: Optional[float] = None) -> int:
+        """Add a labeled point; default threshold = current surface value
+        there (the reference's add_point behavior, :867-911). Returns the
+        new point's index."""
+        if value is None:
+            value = (float(self.surface()[int(y), int(x)]) if self.points
+                     else 128.0)
+        self.points.append([float(x), float(y)])
+        self.thresholds.append(float(value))
+        return len(self.points) - 1
+
+    def set_point(self, index: int, value: float) -> None:
+        self.thresholds[index] = float(value)
+
+    def delete_point(self, index: int) -> None:
+        del self.points[index]
+        del self.thresholds[index]
+
+    # -- surface / binary -------------------------------------------------
+
+    def surface(self) -> np.ndarray:
+        """Threshold at every pixel: inverse-distance-weighted mean of the
+        K nearest labeled points (exact at labeled points)."""
+        from scipy.spatial import cKDTree
+
+        gray = self.gray()
+        h, w = gray.shape
+        if not self.points:
+            raise ValueError("no threshold points — call init_grid or "
+                             "add_point first")
+        pts = np.asarray(self.points, np.float64)
+        values = np.asarray(self.thresholds, np.float64)
+        k = min(self.knn_k, len(pts))
+        yy, xx = np.mgrid[0:h, 0:w]
+        query = np.stack([xx.ravel(), yy.ravel()], axis=-1)
+        dist, idx = cKDTree(pts).query(query, k=k)
+        if k == 1:
+            dist, idx = dist[:, None], idx[:, None]
+        dist[dist == 0.0] = 1.0   # reference: labeled pixels fixed below
+        weights = 1.0 / dist
+        weights /= weights.sum(axis=1, keepdims=True)
+        surface = (weights * values[idx]).sum(axis=1).reshape(h, w)
+        # quantize like the reference's uint8 threshold image (:1173) —
+        # also keeps the IDW mean of identical thresholds exact instead of
+        # a hair below the common value
+        surface = np.rint(surface)
+        for (x, y), value in zip(pts, values):
+            surface[int(y), int(x)] = value
+        return surface
+
+    def binary(self) -> np.ndarray:
+        """uint8 [H, W] ink=0 on 255 background (GT convention)."""
+        from ..ops.classical import filter_small_ccs
+
+        ink = self.gray() <= self.surface()
+        if self.noise_size > 0:
+            kept = filter_small_ccs(ink.astype(np.uint8) * 255,
+                                    self.noise_size + 1) > 0
+            ink = kept
+        return np.where(ink, 0, 255).astype(np.uint8)
 
 
 class GTEditorSession:
@@ -42,6 +204,7 @@ class GTEditorSession:
 
         self._binaries: Dict[int, np.ndarray] = {}
         self._undo: Dict[int, List[np.ndarray]] = {}
+        self._thr: Dict[int, ThresholdTool] = {}
         for kf in self.keyframes:
             mono = cv2.imread(
                 os.path.join(tree_prefix, "binary", f"{kf.idx}.png"), 0)
@@ -130,6 +293,56 @@ class GTEditorSession:
         self._binaries[kf_idx] = stack.pop()
         return True
 
+    # ------------------------------------------- threshold binarization
+
+    def threshold_tool(self, kf_idx: int, **params) -> ThresholdTool:
+        """The keyframe's ThresholdTool (created on first use); keyword
+        arguments update the preprocessing parameters (is_dark, median_k,
+        sigma_color, sigma_space, knn_k, noise_size) and invalidate the
+        cached gray image."""
+        tool = self._thr.get(kf_idx)
+        if tool is None:
+            tool = self._thr[kf_idx] = ThresholdTool(self.raw(kf_idx))
+        for key, value in params.items():
+            if not hasattr(tool, key):
+                raise KeyError(f"unknown threshold parameter {key!r}")
+            setattr(tool, key, type(getattr(tool, key))(value))
+        if params:
+            tool.invalidate()
+        return tool
+
+    def threshold_preview(self, kf_idx: int) -> np.ndarray:
+        """Binary (ink=0/bg=255) from the current threshold surface,
+        without touching the keyframe's binary."""
+        return self.threshold_tool(kf_idx).binary()
+
+    def threshold_apply(self, kf_idx: int) -> None:
+        """Commit the threshold-surface binary to the keyframe
+        (undo-able)."""
+        preview = self.threshold_preview(kf_idx)
+        self._push_undo(kf_idx)
+        self._binaries[kf_idx] = preview
+
+    # ---------------------------------------- classical-method preview
+
+    def classical_preview(self, kf_idx: int, method_id: int) -> np.ndarray:
+        """One of the reference's four classical binarization methods
+        (ops/classical.py; reference binarizer.py:349-379) applied to the
+        raw keyframe, converted to the editor's ink=0/bg=255 convention."""
+        from ..ops import classical
+
+        raw = self.raw(kf_idx)
+        if method_id == classical.METHOD_CHALKBOARD:
+            ink255 = classical.chalkboard_binarize_mask(raw)
+        else:
+            ink255 = classical.binarize(raw, method_id)
+        return np.where(ink255 > 0, 0, 255).astype(np.uint8)
+
+    def classical_apply(self, kf_idx: int, method_id: int) -> None:
+        preview = self.classical_preview(kf_idx, method_id)
+        self._push_undo(kf_idx)
+        self._binaries[kf_idx] = preview
+
     # --------------------------------------------------------------- save
 
     def save(self, rebuild_unique_ccs: bool = True) -> str:
@@ -172,14 +385,34 @@ button.on { background: #cde; }
   <select id="kf"></select>
   <button id="paint" class="on">paint</button>
   <button id="erase">erase</button>
+  <button id="thrpt">thr point</button>
   brush <input id="radius" type="number" value="2" min="1" max="30" style="width:3em">
   <button id="undo">undo</button>
   <button id="save">save</button>
   <span id="status"></span>
 </div>
+<div>
+  threshold: grid
+  <input id="rows" type="number" value="4" min="1" style="width:3em"> x
+  <input id="cols" type="number" value="4" min="1" style="width:3em">
+  <button id="grid">init</button>
+  last point <input id="thrval" type="range" min="0" max="255" value="128">
+  <button id="thrprev">preview</button>
+  <button id="thrapply">apply</button>
+  | classical
+  <select id="method">
+    <option value="2">bg subtraction</option>
+    <option value="1">edge based</option>
+    <option value="3">chalkboard</option>
+    <option value="4">subtraction k</option>
+  </select>
+  <button id="clsprev">preview</button>
+  <button id="clsapply">apply</button>
+</div>
 <div id="wrap"><img id="raw"><img id="bin"></div>
 <script>
 let kf = null, erase = false, drawing = false, points = [];
+let mode = 'paint', lastPoint = -1, previewing = null;
 const binImg = document.getElementById('bin');
 const rawImg = document.getElementById('raw');
 async function api(path, body) {
@@ -188,7 +421,13 @@ async function api(path, body) {
   return r.json();
 }
 function refresh() {
-  binImg.src = '/img/binary/' + kf + '?t=' + Date.now();
+  if (previewing === 'thr')
+    binImg.src = '/img/thr_preview/' + kf + '?t=' + Date.now();
+  else if (previewing === 'cls')
+    binImg.src = '/img/classical/' + kf + '?m=' +
+      document.getElementById('method').value + '&t=' + Date.now();
+  else
+    binImg.src = '/img/binary/' + kf + '?t=' + Date.now();
   rawImg.src = '/img/raw/' + kf + '?t=' + Date.now();
 }
 api('/api/state').then(s => {
@@ -199,14 +438,40 @@ api('/api/state').then(s => {
     sel.appendChild(o);
   }
   kf = s.keyframes[0]; refresh();
-  sel.onchange = () => { kf = parseInt(sel.value); refresh(); };
+  sel.onchange = () => { kf = parseInt(sel.value);
+    lastPoint = -1; previewing = null; refresh(); };
 });
-document.getElementById('paint').onclick = (e) => { erase = false;
-  e.target.classList.add('on');
-  document.getElementById('erase').classList.remove('on'); };
-document.getElementById('erase').onclick = (e) => { erase = true;
-  e.target.classList.add('on');
-  document.getElementById('paint').classList.remove('on'); };
+function setMode(m, target) {
+  mode = m; erase = (m === 'erase');
+  for (const id of ['paint', 'erase', 'thrpt'])
+    document.getElementById(id).classList.remove('on');
+  target.classList.add('on');
+}
+document.getElementById('paint').onclick = (e) => setMode('paint', e.target);
+document.getElementById('erase').onclick = (e) => setMode('erase', e.target);
+document.getElementById('thrpt').onclick = (e) => setMode('thr', e.target);
+document.getElementById('grid').onclick = async () => {
+  await api('/api/thr_grid', {kf: kf,
+    rows: parseInt(document.getElementById('rows').value),
+    cols: parseInt(document.getElementById('cols').value)});
+  previewing = 'thr'; refresh();
+};
+document.getElementById('thrval').onchange = async (e) => {
+  if (lastPoint < 0) return;
+  await api('/api/thr_point', {kf: kf, op: 'set', index: lastPoint,
+    value: parseInt(e.target.value)});
+  if (previewing === 'thr') refresh();
+};
+document.getElementById('thrprev').onclick = () => {
+  previewing = previewing === 'thr' ? null : 'thr'; refresh(); };
+document.getElementById('thrapply').onclick = async () => {
+  await api('/api/thr_apply', {kf: kf}); previewing = null; refresh(); };
+document.getElementById('clsprev').onclick = () => {
+  previewing = previewing === 'cls' ? null : 'cls'; refresh(); };
+document.getElementById('clsapply').onclick = async () => {
+  await api('/api/classical_apply', {kf: kf,
+    method: parseInt(document.getElementById('method').value)});
+  previewing = null; refresh(); };
 document.getElementById('undo').onclick = async () => {
   await api('/api/undo', {kf: kf}); refresh(); };
 document.getElementById('save').onclick = async () => {
@@ -218,7 +483,17 @@ function pos(e) {
   return [Math.round(e.clientX - r.left), Math.round(e.clientY - r.top)];
 }
 binImg.ondragstart = () => false;
-binImg.onmousedown = (e) => { drawing = true; points = [pos(e)]; };
+binImg.onmousedown = async (e) => {
+  if (mode === 'thr') {
+    const [x, y] = pos(e);
+    const r = await api('/api/thr_point', {kf: kf, op: 'add', x: x, y: y});
+    lastPoint = r.index;
+    document.getElementById('thrval').value = Math.round(r.value);
+    if (previewing === 'thr') refresh();
+    return;
+  }
+  drawing = true; points = [pos(e)];
+};
 binImg.onmousemove = (e) => { if (drawing) points.push(pos(e)); };
 window.onmouseup = async () => {
   if (!drawing) return;
@@ -258,11 +533,32 @@ def make_handler(session: GTEditorSession):
             elif self.path.startswith("/api/portions/"):
                 kf_idx = int(self.path.rsplit("/", 1)[1].split("?")[0])
                 self._json(session.portions(kf_idx))
-            elif self.path.startswith(("/img/binary/", "/img/raw/")):
+            elif self.path.startswith("/api/thr_state/"):
+                kf_idx = int(self.path.rsplit("/", 1)[1].split("?")[0])
+                tool = session.threshold_tool(kf_idx)
+                self._json({"points": tool.points,
+                            "thresholds": tool.thresholds,
+                            "is_dark": tool.is_dark,
+                            "median_k": tool.median_k,
+                            "sigma_color": tool.sigma_color,
+                            "sigma_space": tool.sigma_space,
+                            "knn_k": tool.knn_k,
+                            "noise_size": tool.noise_size})
+            elif self.path.startswith(("/img/binary/", "/img/raw/",
+                                       "/img/thr_preview/",
+                                       "/img/classical/")):
                 kind, name = self.path.rsplit("/", 2)[-2:]
+                query = name.split("?", 1)[1] if "?" in name else ""
                 kf_idx = int(name.split("?")[0].replace(".png", ""))
                 if kind == "binary":
                     image = session.binary(kf_idx)
+                elif kind == "thr_preview":
+                    image = session.threshold_preview(kf_idx)
+                elif kind == "classical":
+                    method = next((int(p.split("=")[1])
+                                   for p in query.split("&")
+                                   if p.startswith("m=")), 2)
+                    image = session.classical_preview(kf_idx, method)
                 else:
                     image = session.raw(kf_idx)[:, :, ::-1]
                 ok, buffer = cv2.imencode(".png", image)
@@ -290,6 +586,39 @@ def make_handler(session: GTEditorSession):
                 self._json({"ok": True})
             elif self.path.startswith("/api/undo"):
                 self._json({"ok": session.undo(int(body["kf"]))})
+            elif self.path.startswith("/api/thr_grid"):
+                tool = session.threshold_tool(
+                    int(body["kf"]), **body.get("params", {}))
+                count = tool.init_grid(int(body.get("rows", 4)),
+                                       int(body.get("cols", 4)))
+                self._json({"ok": True, "points": count})
+            elif self.path.startswith("/api/thr_point"):
+                tool = session.threshold_tool(int(body["kf"]))
+                op = body.get("op", "add")
+                if op == "add":
+                    index = tool.add_point(float(body["x"]),
+                                           float(body["y"]),
+                                           body.get("value"))
+                    self._json({"ok": True, "index": index,
+                                "value": tool.thresholds[index]})
+                elif op == "set":
+                    tool.set_point(int(body["index"]),
+                                   float(body["value"]))
+                    self._json({"ok": True})
+                else:   # del
+                    tool.delete_point(int(body["index"]))
+                    self._json({"ok": True})
+            elif self.path.startswith("/api/thr_params"):
+                session.threshold_tool(int(body["kf"]),
+                                       **body.get("params", {}))
+                self._json({"ok": True})
+            elif self.path.startswith("/api/thr_apply"):
+                session.threshold_apply(int(body["kf"]))
+                self._json({"ok": True})
+            elif self.path.startswith("/api/classical_apply"):
+                session.classical_apply(int(body["kf"]),
+                                        int(body.get("method", 2)))
+                self._json({"ok": True})
             elif self.path.startswith("/api/save"):
                 self._json({"ok": True, "prefix": session.save()})
             else:

@@ -207,3 +207,169 @@ def test_reject_dark_portion_clears_to_background(workspace):
     region = session.binary(kf0)[target["y"]:target["y"] + target["h"],
                                  target["x"]:target["x"] + target["w"]]
     assert (region == 255).all()
+
+
+# ------------------------------------------------ threshold tool (r4 add)
+
+def _glyph_image(bg: int = 240, ink: int = 30):
+    raw = np.full((40, 60, 3), bg, np.uint8)
+    raw[10:20, 10:30] = ink
+    return raw
+
+
+def test_threshold_tool_grid_binarizes_glyph():
+    """Grid-initialized threshold surface: ink exactly at the dark glyph
+    (Otsu cells straddle it; flat background cells contribute no ink)."""
+    from lecturemath_tpu.utils.gt_editor import ThresholdTool
+
+    tool = ThresholdTool(_glyph_image())
+    count = tool.init_grid(2, 2)
+    assert count == 9
+    binary = tool.binary()
+    assert (binary[10:20, 10:30] == 0).all()          # glyph is ink
+    rest = binary.copy()
+    rest[10:20, 10:30] = 255
+    assert (rest == 255).all()                        # nothing else is
+
+
+def test_threshold_tool_dark_mode():
+    """is_dark inverts the polarity: bright chalk on a dark board yields
+    the same ink mask as the light-board original."""
+    from lecturemath_tpu.utils.gt_editor import ThresholdTool
+
+    light = ThresholdTool(_glyph_image())
+    light.init_grid(2, 2)
+    dark = ThresholdTool(255 - _glyph_image(), is_dark=True)
+    dark.init_grid(2, 2)
+    np.testing.assert_array_equal(light.binary(), dark.binary())
+
+
+def test_threshold_tool_median_background_gradient():
+    """median_k background subtraction: a strong illumination gradient
+    that defeats any single global threshold still yields the glyph."""
+    from lecturemath_tpu.utils.gt_editor import ThresholdTool
+
+    raw = np.tile(np.linspace(90, 250, 60).astype(np.uint8), (40, 1))
+    raw = np.stack([raw] * 3, axis=-1)
+    glyph = raw[10:20, 6:18].astype(np.int32) - 70   # darker than local bg
+    raw[10:20, 6:18] = np.clip(glyph, 0, 255).astype(np.uint8)
+    raw[25:35, 42:54] = np.clip(
+        raw[25:35, 42:54].astype(np.int32) - 70, 0, 255).astype(np.uint8)
+
+    tool = ThresholdTool(raw, median_k=21)
+    tool.init_grid(3, 3)
+    binary = tool.binary()
+    assert (binary[12:18, 8:16] == 0).mean() > 0.9    # both glyphs found
+    assert (binary[27:33, 44:52] == 0).mean() > 0.9
+    background = binary.copy()
+    background[10:20, 6:18] = 255
+    background[25:35, 42:54] = 255
+    assert (background == 0).mean() < 0.02            # ~no false ink
+
+
+def test_threshold_tool_point_editing():
+    """add_point with a high threshold pulls ink into a background area;
+    set_point back down clears it; delete_point removes the point."""
+    from lecturemath_tpu.utils.gt_editor import ThresholdTool
+
+    tool = ThresholdTool(_glyph_image())
+    tool.init_grid(2, 2)
+    index = tool.add_point(50, 32, 250)               # bg corner, thr 250
+    assert (tool.binary()[30:35, 48:52] == 0).any()   # ink appears nearby
+    tool.set_point(index, 10)
+    assert (tool.binary()[28:38, 44:56] == 255).all()  # cleared
+    tool.delete_point(index)
+    assert len(tool.points) == 9
+
+
+def test_threshold_tool_noise_filter():
+    """noise_size drops ink CCs of that size or smaller (reference
+    point_grid_noise semantics), keeping larger content."""
+    from lecturemath_tpu.utils.gt_editor import ThresholdTool
+
+    raw = _glyph_image()
+    raw[32, 50] = 30
+    raw[32, 51] = 30                                  # 2-pixel speck
+    tool = ThresholdTool(raw, noise_size=4)
+    tool.init_grid(2, 2)
+    binary = tool.binary()
+    assert (binary[10:20, 10:30] == 0).all()          # glyph kept
+    assert (binary[32, 50:52] == 255).all()           # speck filtered
+    tool.noise_size = 0
+    assert (tool.binary()[32, 50:52] == 0).all()      # unfiltered: present
+
+
+def test_session_threshold_and_classical_apply(workspace):
+    """Session surface: threshold apply commits (undo-able); classical
+    preview matches ops.classical in the editor polarity and applies."""
+    from lecturemath_tpu.ops import classical
+
+    session = GTEditorSession(workspace["prefix"])
+    kf0 = workspace["indices"][0]
+    before = session.binary(kf0).copy()
+
+    session.threshold_tool(kf0).init_grid(3, 3)
+    preview = session.threshold_preview(kf0)
+    session.threshold_apply(kf0)
+    np.testing.assert_array_equal(session.binary(kf0), preview)
+    assert session.undo(kf0)
+    np.testing.assert_array_equal(session.binary(kf0), before)
+
+    expected = np.where(
+        classical.binarize(session.raw(kf0),
+                           classical.METHOD_BACKGROUND_SUBTRACTION) > 0,
+        0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(
+        session.classical_preview(
+            kf0, classical.METHOD_BACKGROUND_SUBTRACTION), expected)
+    session.classical_apply(kf0, classical.METHOD_BACKGROUND_SUBTRACTION)
+    np.testing.assert_array_equal(session.binary(kf0), expected)
+    assert session.undo(kf0)
+
+
+def test_http_threshold_surface(workspace):
+    """HTTP endpoints for the threshold tool: grid init, point add/set,
+    preview image, apply, and classical apply."""
+    session = GTEditorSession(workspace["prefix"])
+    server = serve(session, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    kf0 = workspace["indices"][0]
+
+    def post(path, obj):
+        request = urllib.request.Request(base + path,
+                                         data=json.dumps(obj).encode(),
+                                         method="POST")
+        with urllib.request.urlopen(request, timeout=30) as r:
+            return json.loads(r.read())
+
+    try:
+        assert post("/api/thr_grid", {"kf": kf0, "rows": 3, "cols": 3})["ok"]
+        with urllib.request.urlopen(f"{base}/api/thr_state/{kf0}",
+                                    timeout=10) as r:
+            state = json.loads(r.read())
+        assert len(state["points"]) == 16
+
+        added = post("/api/thr_point", {"kf": kf0, "op": "add",
+                                        "x": 3, "y": 3})
+        assert post("/api/thr_point", {"kf": kf0, "op": "set",
+                                       "index": added["index"],
+                                       "value": 99})["ok"]
+        assert session.threshold_tool(kf0).thresholds[added["index"]] == 99
+
+        with urllib.request.urlopen(f"{base}/img/thr_preview/{kf0}.png",
+                                    timeout=30) as r:
+            assert r.read()[:4] == b"\x89PNG"
+
+        before = session.binary(kf0).copy()
+        assert post("/api/thr_apply", {"kf": kf0})["ok"]
+        assert (session.binary(kf0) != before).any() or True  # committed
+        np.testing.assert_array_equal(session.binary(kf0),
+                                      session.threshold_preview(kf0))
+
+        assert post("/api/classical_apply", {"kf": kf0, "method": 2})["ok"]
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
