@@ -1,0 +1,220 @@
+"""Persistent binarization server: the framework's production serving
+surface.
+
+The reference's closest analog is a one-shot script
+(reference: test_FCN_binarizer.py:1 — load checkpoint, binarize one file,
+exit); re-designed serving-first for TPU:
+
+  * the model stays RESIDENT and jit-warm — the checkpoint loads once,
+    the first request pays the compile, every later request is a pure
+    device dispatch;
+  * requests are MICRO-BATCHED: concurrent requests arriving within a
+    short window ride one device dispatch (the MXU prefers batch 8 over
+    8x batch 1 — see bench.py's batch sweep), each caller gets its own
+    frame back;
+  * inputs are resized host-side to ONE fixed model bucket so XLA never
+    sees a new shape (a new shape means a multi-second recompile mid-
+    serving); outputs return at the caller's original resolution.
+
+Run via ``python -m lecturemath_tpu.cli.serve <config> [-port N]``;
+programmatic use via BinarizeService. The HTTP contract:
+
+  POST /binarize     image body (PNG/JPEG) -> binary PNG (ink=0 on 255,
+                     the model's raw polarity; ``?invert=1`` flips to
+                     ink=255 — the stage-01 artifact polarity)
+  GET  /healthz      liveness + device + model bucket
+  GET  /stats        request/batch counters, mean batch size, latency
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from queue import Empty, Queue
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .binarize import Binarizer, resolve_model_size
+
+
+class _WorkItem:
+    __slots__ = ("frame", "event", "result", "error")
+
+    def __init__(self, frame: np.ndarray):
+        self.frame = frame
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[Exception] = None
+
+
+class BinarizeService:
+    """Thread-safe micro-batching front end over a resident Binarizer."""
+
+    def __init__(self, binarizer: Binarizer,
+                 model_size: Tuple[int, int] = (960, 540),
+                 max_batch: int = 8, batch_window_ms: float = 5.0,
+                 warmup: bool = True):
+        self.binarizer = binarizer
+        # (width, height) the model sees — same halving rule as stage 01
+        self.model_size = resolve_model_size(*model_size)
+        self.max_batch = max(1, int(max_batch))
+        self.batch_window_s = float(batch_window_ms) / 1000.0
+        self._queue: "Queue[Optional[_WorkItem]]" = Queue()
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "batches": 0, "frames": 0,
+                       "last_batch": 0, "last_latency_ms": 0.0,
+                       "started": time.time()}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        if warmup:   # pay the compile before the first caller does
+            width, height = self.model_size
+            self.binarize_rgb(np.zeros((height, width, 3), np.uint8))
+
+    # ------------------------------------------------------------- public
+
+    def binarize_rgb(self, rgb: np.ndarray) -> np.ndarray:
+        """uint8 RGB [H, W, 3] -> uint8 binary [H, W] at the input's
+        resolution, ink=0 on 255 (model polarity). Blocking; safe to call
+        from many threads — concurrent calls share device dispatches."""
+        import cv2
+
+        height, width = rgb.shape[:2]
+        bucket_w, bucket_h = self.model_size
+        if (width, height) != (bucket_w, bucket_h):
+            resized = cv2.resize(rgb, (bucket_w, bucket_h),
+                                 interpolation=cv2.INTER_AREA)
+        else:
+            resized = rgb
+        item = _WorkItem(resized)
+        self._queue.put(item)
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        binary = item.result
+        if binary.shape != (height, width):
+            binary = cv2.resize(binary, (width, height),
+                                interpolation=cv2.INTER_NEAREST)
+        return binary
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            out = dict(self._stats)
+        out["uptime_s"] = round(time.time() - out.pop("started"), 1)
+        out["mean_batch"] = (round(out["frames"] / out["batches"], 2)
+                             if out["batches"] else 0.0)
+        return out
+
+    def close(self) -> None:
+        self._queue.put(None)
+        self._worker.join(timeout=30)
+
+    # ------------------------------------------------------------- worker
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self.batch_window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    extra = self._queue.get(timeout=remaining)
+                except Empty:
+                    break
+                if extra is None:   # close() while batching: finish batch
+                    self._queue.put(None)
+                    break
+                batch.append(extra)
+            start = time.monotonic()
+            try:
+                frames = np.stack([entry.frame for entry in batch])
+                binaries = self.binarizer.binarize_frames(frames)
+                for entry, binary in zip(batch, binaries):
+                    entry.result = np.asarray(binary)
+            except Exception as err:  # noqa: BLE001 — deliver to callers
+                for entry in batch:
+                    entry.error = err
+            finally:
+                for entry in batch:
+                    entry.event.set()
+            latency_ms = (time.monotonic() - start) * 1e3
+            with self._stats_lock:
+                self._stats["requests"] += len(batch)
+                self._stats["batches"] += 1
+                self._stats["frames"] += len(batch)
+                self._stats["last_batch"] = len(batch)
+                self._stats["last_latency_ms"] = round(latency_ms, 1)
+
+
+# --------------------------------------------------------------- HTTP UI
+
+def make_handler(service: BinarizeService):
+    import json
+
+    import cv2
+    import jax
+    from http.server import BaseHTTPRequestHandler
+
+    platform = jax.devices()[0].platform
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, body: bytes, content_type: str = "application/json",
+                  status: int = 200):
+            self.send_response(status)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, status: int = 200):
+            self._send(json.dumps(obj).encode(), status=status)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                self._json({"ok": True, "device": platform,
+                            "model_size": list(service.model_size),
+                            "max_batch": service.max_batch})
+            elif self.path.startswith("/stats"):
+                self._json(service.stats())
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if not self.path.startswith("/binarize"):
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            payload = self.rfile.read(length)
+            image = cv2.imdecode(np.frombuffer(payload, np.uint8),
+                                 cv2.IMREAD_COLOR)
+            if image is None:
+                self._json({"ok": False,
+                            "error": "body is not a decodable image"},
+                           status=400)
+                return
+            binary = service.binarize_rgb(image[:, :, ::-1])
+            if "invert=1" in self.path:
+                binary = 255 - binary
+            ok, buffer = cv2.imencode(".png", binary)
+            assert ok
+            self._send(buffer.tobytes(), "image/png")
+
+    return Handler
+
+
+def serve(service: BinarizeService, port: int = 0):
+    """Start the serving HTTP front end; returns the bound HTTPServer —
+    call serve_forever() (blocking) or run it in a thread (tests)."""
+    from http.server import ThreadingHTTPServer
+
+    return ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))

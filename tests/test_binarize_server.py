@@ -1,0 +1,135 @@
+"""Binarization serving surface: resident model, micro-batched concurrent
+requests, fixed model bucket (no per-request recompiles), HTTP contract."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from lecturemath_tpu.models.fcn_lecturenet import FCNConfig, FCNLectureNet
+from lecturemath_tpu.pipeline.binarize import Binarizer
+from lecturemath_tpu.pipeline.server import BinarizeService, serve
+from lecturemath_tpu.utils.synthetic import threshold_binarizer_variables
+
+NET_CONFIG = FCNConfig(
+    down_filters=(2, 3, 4, 5, 6), mid_filters=6,
+    upsample_filters=(2, 3, 4, 5, 6), up_filters=(2, 3, 4, 5, 6),
+    pixel_features=(3, 2), kernel_size=3, pixel_kernel_size=3)
+
+
+def _frame(width=64, height=48, glyph=True):
+    rgb = np.full((height, width, 3), 220, np.uint8)
+    if glyph:
+        rgb[10:20, 12:30] = 20   # dark -> ink under the threshold head
+    return rgb
+
+
+@pytest.fixture(scope="module")
+def service():
+    import jax.numpy as jnp
+
+    model = FCNLectureNet(NET_CONFIG, dtype=jnp.float32)
+    variables = threshold_binarizer_variables(NET_CONFIG)
+    binarizer = Binarizer(model, variables, upload_format="rgb")
+    service = BinarizeService(binarizer, model_size=(64, 48),
+                              max_batch=4, batch_window_ms=50.0)
+    yield service
+    service.close()
+
+
+def test_single_request_round_trip(service):
+    binary = service.binarize_rgb(_frame())
+    assert binary.shape == (48, 64)
+    assert (binary[12:18, 14:28] == 0).all()      # glyph is ink
+    assert (binary[0:8, 0:8] == 255).all()        # background stays
+
+
+def test_resolution_adaptation_no_recompile(service):
+    """Inputs at other resolutions resize through the fixed bucket and
+    come back at their own size."""
+    big = service.binarize_rgb(_frame(width=128, height=96))
+    assert big.shape == (96, 128)
+    # the glyph sits at the same absolute pixel coords (10:20, 12:30) and
+    # must come back there after the bucket round trip
+    assert (big[12:18, 14:28] == 0).mean() > 0.8   # glyph survives resize
+    assert (big[40:96, 60:128] == 255).all()       # background stays
+
+
+def test_concurrent_requests_micro_batch(service):
+    """Six concurrent callers land in fewer device dispatches than
+    requests (the 50 ms window aggregates them), and every caller gets
+    its own correct frame back."""
+    before = service.stats()
+    results = [None] * 6
+
+    def call(k):
+        frame = _frame(glyph=(k % 2 == 0))
+        results[k] = (k, service.binarize_rgb(frame))
+
+    threads = [threading.Thread(target=call, args=(k,)) for k in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+
+    for k, binary in results:
+        assert binary is not None
+        has_ink = (binary[12:18, 14:28] == 0).any()
+        assert has_ink == (k % 2 == 0)            # per-caller frames
+    after = service.stats()
+    new_requests = after["requests"] - before["requests"]
+    new_batches = after["batches"] - before["batches"]
+    assert new_requests == 6
+    assert new_batches < 6                         # batching happened
+    assert after["mean_batch"] >= 1.0
+
+
+def test_http_contract(service):
+    import cv2
+
+    server = serve(service, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["model_size"] == [64, 48]
+
+        ok, payload = cv2.imencode(".png", _frame()[:, :, ::-1])
+        assert ok
+        request = urllib.request.Request(f"{base}/binarize",
+                                         data=payload.tobytes(),
+                                         method="POST")
+        with urllib.request.urlopen(request, timeout=120) as r:
+            binary = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                                  cv2.IMREAD_GRAYSCALE)
+        assert (binary[12:18, 14:28] == 0).all()
+
+        request = urllib.request.Request(f"{base}/binarize?invert=1",
+                                         data=payload.tobytes(),
+                                         method="POST")
+        with urllib.request.urlopen(request, timeout=120) as r:
+            inverted = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                                    cv2.IMREAD_GRAYSCALE)
+        assert (inverted[12:18, 14:28] == 255).all()
+
+        request = urllib.request.Request(f"{base}/binarize",
+                                         data=b"not an image",
+                                         method="POST")
+        try:
+            urllib.request.urlopen(request, timeout=10)
+            raised = False
+        except urllib.error.HTTPError as err:
+            raised = err.code == 400
+        assert raised
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 1 and stats["uptime_s"] >= 0
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)

@@ -12,7 +12,7 @@ CLI_MODULES = [
     "eval_text_detector", "train_reconstruction", "train_text_detector",
     "train_binarizer", "prepare_text_masks", "prepare_cocotext",
     "validate_dataset", "binarize_image", "vis_gt_intervals",
-    "gt_editor", "annotation_editor", "run_pipeline",
+    "gt_editor", "annotation_editor", "run_pipeline", "serve",
 ]
 
 
