@@ -37,6 +37,10 @@ def main(argv=None):
 
     database = MetaDataDB.from_file(config.get_str("VIDEO_DATABASE_PATH"))
     lecture = database.get_lecture(lecture_name)
+    if lecture is None:
+        print(f"Unknown lecture <{lecture_name}> — available: "
+              f"{', '.join(lec.title for lec in database.lectures)}")
+        return
     video_root = config.get_str("VIDEO_FILES_PATH", "")
     video_paths = [os.path.join(video_root, video["path"])
                    for video in lecture.main_videos]

@@ -59,17 +59,29 @@ class BinarizeService:
         # (width, height) the model sees — same halving rule as stage 01
         self.model_size = resolve_model_size(*model_size)
         self.max_batch = max(1, int(max_batch))
+        # jit traces per input shape, so micro-batches PAD to one of a few
+        # power-of-two buckets (1, 2, 4, ..., max_batch) — bounded compile
+        # count, all paid at warmup, never mid-serving
+        self.batch_buckets = []
+        bucket = 1
+        while bucket < self.max_batch:
+            self.batch_buckets.append(bucket)
+            bucket *= 2
+        self.batch_buckets.append(self.max_batch)
         self.batch_window_s = float(batch_window_ms) / 1000.0
         self._queue: "Queue[Optional[_WorkItem]]" = Queue()
+        self._closed = False
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "frames": 0,
                        "last_batch": 0, "last_latency_ms": 0.0,
                        "started": time.time()}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
-        if warmup:   # pay the compile before the first caller does
+        if warmup:   # pay every bucket's compile before the first caller
             width, height = self.model_size
-            self.binarize_rgb(np.zeros((height, width, 3), np.uint8))
+            for bucket in self.batch_buckets:
+                frames = np.zeros((bucket, height, width, 3), np.uint8)
+                self.binarizer.binarize_frames(frames)
 
     # ------------------------------------------------------------- public
 
@@ -86,9 +98,13 @@ class BinarizeService:
                                  interpolation=cv2.INTER_AREA)
         else:
             resized = rgb
+        if self._closed:
+            raise RuntimeError("BinarizeService is closed")
         item = _WorkItem(resized)
         self._queue.put(item)
-        item.event.wait()
+        # generous backstop so a dying worker can never hang callers
+        if not item.event.wait(timeout=600.0):
+            raise RuntimeError("binarize request timed out (600 s)")
         if item.error is not None:
             raise item.error
         binary = item.result
@@ -106,8 +122,18 @@ class BinarizeService:
         return out
 
     def close(self) -> None:
+        self._closed = True
         self._queue.put(None)
         self._worker.join(timeout=30)
+        # error out any straggler enqueued between the flag and the drain
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except Empty:
+                return
+            if item is not None:
+                item.error = RuntimeError("BinarizeService closed")
+                item.event.set()
 
     # ------------------------------------------------------------- worker
 
@@ -132,16 +158,20 @@ class BinarizeService:
                 batch.append(extra)
             start = time.monotonic()
             try:
-                frames = np.stack([entry.frame for entry in batch])
+                # pad to the next batch bucket: only the warmed bucket
+                # shapes ever reach jit (no mid-serving recompiles)
+                bucket = next(b for b in self.batch_buckets
+                              if b >= len(batch))
+                frames = np.stack([entry.frame for entry in batch]
+                                  + [batch[0].frame] * (bucket - len(batch)))
                 binaries = self.binarizer.binarize_frames(frames)
                 for entry, binary in zip(batch, binaries):
                     entry.result = np.asarray(binary)
             except Exception as err:  # noqa: BLE001 — deliver to callers
                 for entry in batch:
                     entry.error = err
-            finally:
-                for entry in batch:
-                    entry.event.set()
+            # stats BEFORE waking callers: a caller that returns and reads
+            # stats() must see its own request counted
             latency_ms = (time.monotonic() - start) * 1e3
             with self._stats_lock:
                 self._stats["requests"] += len(batch)
@@ -149,6 +179,8 @@ class BinarizeService:
                 self._stats["frames"] += len(batch)
                 self._stats["last_batch"] = len(batch)
                 self._stats["last_latency_ms"] = round(latency_ms, 1)
+            for entry in batch:
+                entry.event.set()
 
 
 # --------------------------------------------------------------- HTTP UI

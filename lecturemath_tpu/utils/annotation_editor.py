@@ -98,15 +98,20 @@ class AnnotationEditorSession:
         if len(self.video_paths) == 1 and os.path.isdir(self.video_paths[0]):
             import cv2
 
-            from ..pipeline.video import ImageListSource
-
-            source = ImageListSource(self.video_paths[0],
-                                     forced_resolution=self.forced_resolution)
-            for position, (_, frame_idx, rgb) in enumerate(source.frames()):
-                if position == index:
-                    self._put_cache(index, rgb)
-                    return rgb
-            raise KeyError(f"frame {index} beyond image list")
+            files = self._image_list_files()
+            if index >= len(files):
+                raise KeyError(f"frame {index} beyond image list")
+            frame = cv2.imread(os.path.join(self.video_paths[0],
+                                            files[index]))
+            if frame is None:
+                raise KeyError(f"unreadable frame file {files[index]}")
+            if self.forced_resolution is not None:
+                fw, fh = self.forced_resolution
+                if (frame.shape[1], frame.shape[0]) != (fw, fh):
+                    frame = cv2.resize(frame, (fw, fh))
+            rgb = frame[:, :, ::-1]
+            self._put_cache(index, rgb)
+            return rgb
         from ..pipeline.video import sample_frame_indices
 
         decoded = sample_frame_indices(self.video_paths, [index],
@@ -115,6 +120,24 @@ class AnnotationEditorSession:
             raise KeyError(f"frame {index} beyond video end")
         self._put_cache(index, decoded[0][1])
         return decoded[0][1]
+
+    def _image_list_files(self) -> list:
+        """Position -> filename for an image-list lecture (one decode per
+        request, not a sequential scan; same ordering as
+        ImageListSource.frames)."""
+        if getattr(self, "_il_files", None) is None:
+            from ..pipeline.video import ImageListSource
+
+            source = ImageListSource(self.video_paths[0])
+            ext = source.img_extension.lstrip(".")
+            if source.index is not None:
+                frame_ids = sorted(int(k) for k in source.index if int(k))
+                self._il_files = [f"{fid}.{ext}" for fid in frame_ids]
+            else:
+                self._il_files = sorted(
+                    f for f in os.listdir(self.video_paths[0])
+                    if f.endswith(source.img_extension))
+        return self._il_files
 
     def _put_cache(self, index: int, rgb: np.ndarray) -> None:
         if len(self._frame_cache) > 64:
@@ -269,6 +292,10 @@ class AnnotationEditorSession:
 
     def del_location(self, name: str, frame: int) -> None:
         obj = self._object(name)
+        if len(obj.locations) == 1 and obj.locations[0].frame == int(frame):
+            raise ValueError(
+                f"object {name!r} has only this keypose — remove the "
+                f"object instead (an empty timeline cannot be queried)")
         self._snapshot()
         if not obj.del_location_at(int(frame)):
             self._undo.pop()   # nothing changed

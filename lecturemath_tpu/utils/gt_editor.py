@@ -129,11 +129,27 @@ class ThresholdTool:
         there (the reference's add_point behavior, :867-911). Returns the
         new point's index."""
         if value is None:
-            value = (float(self.surface()[int(y), int(x)]) if self.points
+            value = (self._surface_at(float(x), float(y)) if self.points
                      else 128.0)
         self.points.append([float(x), float(y)])
         self.thresholds.append(float(value))
         return len(self.points) - 1
+
+    def _surface_at(self, x: float, y: float) -> float:
+        """Surface value at ONE pixel — a single KD-tree query, not the
+        full-image surface."""
+        from scipy.spatial import cKDTree
+
+        pts = np.asarray(self.points, np.float64)
+        values = np.asarray(self.thresholds, np.float64)
+        k = min(self.knn_k, len(pts))
+        dist, idx = cKDTree(pts).query([[x, y]], k=k)
+        dist, idx = np.atleast_2d(dist), np.atleast_2d(idx)
+        if (dist == 0.0).any():   # exactly on a labeled point
+            return float(values[idx[dist == 0.0][0]])
+        weights = 1.0 / dist
+        weights /= weights.sum()
+        return float(np.rint((weights * values[idx]).sum()))
 
     def set_point(self, index: int, value: float) -> None:
         self.thresholds[index] = float(value)
@@ -295,6 +311,9 @@ class GTEditorSession:
 
     # ------------------------------------------- threshold binarization
 
+    _THR_PARAMS = {"is_dark": bool, "median_k": int, "sigma_color": float,
+                   "sigma_space": float, "knn_k": int, "noise_size": int}
+
     def threshold_tool(self, kf_idx: int, **params) -> ThresholdTool:
         """The keyframe's ThresholdTool (created on first use); keyword
         arguments update the preprocessing parameters (is_dark, median_k,
@@ -304,17 +323,26 @@ class GTEditorSession:
         if tool is None:
             tool = self._thr[kf_idx] = ThresholdTool(self.raw(kf_idx))
         for key, value in params.items():
-            if not hasattr(tool, key):
+            kind = self._THR_PARAMS.get(key)
+            if kind is None:
                 raise KeyError(f"unknown threshold parameter {key!r}")
-            setattr(tool, key, type(getattr(tool, key))(value))
+            if kind is bool:   # accept JSON bools and 0/1/"0"/"1"
+                value = value in (True, 1, "1", "true", "True")
+            else:
+                value = kind(value)
+            setattr(tool, key, value)
         if params:
             tool.invalidate()
         return tool
 
     def threshold_preview(self, kf_idx: int) -> np.ndarray:
         """Binary (ink=0/bg=255) from the current threshold surface,
-        without touching the keyframe's binary."""
-        return self.threshold_tool(kf_idx).binary()
+        without touching the keyframe's binary. A tool with no points yet
+        grid-initializes itself (so 'preview' works before 'init')."""
+        tool = self.threshold_tool(kf_idx)
+        if not tool.points:
+            tool.init_grid()
+        return tool.binary()
 
     def threshold_apply(self, kf_idx: int) -> None:
         """Commit the threshold-surface binary to the keyframe
@@ -524,6 +552,16 @@ def make_handler(session: GTEditorSession):
         def _json(self, obj):
             self._send(json.dumps(obj).encode())
 
+        def _guard(self, fn):
+            """Run an edit op; session errors become a JSON error response
+            instead of killing the handler thread."""
+            try:
+                result = fn()
+                self._json(result if isinstance(result, dict)
+                           else {"ok": True})
+            except (ValueError, KeyError, IndexError) as err:
+                self._json({"ok": False, "error": str(err)})
+
         def do_GET(self):
             if self.path == "/" or self.path.startswith("/index"):
                 self._send(PAGE.encode(), "text/html")
@@ -550,17 +588,21 @@ def make_handler(session: GTEditorSession):
                 kind, name = self.path.rsplit("/", 2)[-2:]
                 query = name.split("?", 1)[1] if "?" in name else ""
                 kf_idx = int(name.split("?")[0].replace(".png", ""))
-                if kind == "binary":
-                    image = session.binary(kf_idx)
-                elif kind == "thr_preview":
-                    image = session.threshold_preview(kf_idx)
-                elif kind == "classical":
-                    method = next((int(p.split("=")[1])
-                                   for p in query.split("&")
-                                   if p.startswith("m=")), 2)
-                    image = session.classical_preview(kf_idx, method)
-                else:
-                    image = session.raw(kf_idx)[:, :, ::-1]
+                try:
+                    if kind == "binary":
+                        image = session.binary(kf_idx)
+                    elif kind == "thr_preview":
+                        image = session.threshold_preview(kf_idx)
+                    elif kind == "classical":
+                        method = next((int(p.split("=")[1])
+                                       for p in query.split("&")
+                                       if p.startswith("m=")), 2)
+                        image = session.classical_preview(kf_idx, method)
+                    else:
+                        image = session.raw(kf_idx)[:, :, ::-1]
+                except (ValueError, KeyError, IndexError) as err:
+                    self.send_error(404, str(err))
+                    return
                 ok, buffer = cv2.imencode(".png", image)
                 assert ok
                 self._send(buffer.tobytes(), "image/png")
@@ -582,43 +624,44 @@ def make_handler(session: GTEditorSession):
                                   erase=bool(body.get("erase", True)))
                 self._json({"ok": True})
             elif self.path.startswith("/api/reject_portion"):
-                session.reject_portion(int(body["kf"]), int(body["index"]))
-                self._json({"ok": True})
+                self._guard(lambda: session.reject_portion(
+                    int(body["kf"]), int(body["index"])))
             elif self.path.startswith("/api/undo"):
                 self._json({"ok": session.undo(int(body["kf"]))})
             elif self.path.startswith("/api/thr_grid"):
-                tool = session.threshold_tool(
-                    int(body["kf"]), **body.get("params", {}))
-                count = tool.init_grid(int(body.get("rows", 4)),
-                                       int(body.get("cols", 4)))
-                self._json({"ok": True, "points": count})
+                def _grid():
+                    tool = session.threshold_tool(
+                        int(body["kf"]), **body.get("params", {}))
+                    count = tool.init_grid(int(body.get("rows", 4)),
+                                           int(body.get("cols", 4)))
+                    return {"ok": True, "points": count}
+                self._guard(_grid)
             elif self.path.startswith("/api/thr_point"):
-                tool = session.threshold_tool(int(body["kf"]))
-                op = body.get("op", "add")
-                if op == "add":
-                    index = tool.add_point(float(body["x"]),
-                                           float(body["y"]),
-                                           body.get("value"))
-                    self._json({"ok": True, "index": index,
-                                "value": tool.thresholds[index]})
-                elif op == "set":
-                    tool.set_point(int(body["index"]),
-                                   float(body["value"]))
-                    self._json({"ok": True})
-                else:   # del
-                    tool.delete_point(int(body["index"]))
-                    self._json({"ok": True})
+                def _point():
+                    tool = session.threshold_tool(int(body["kf"]))
+                    op = body.get("op", "add")
+                    if op == "add":
+                        index = tool.add_point(float(body["x"]),
+                                               float(body["y"]),
+                                               body.get("value"))
+                        return {"ok": True, "index": index,
+                                "value": tool.thresholds[index]}
+                    if op == "set":
+                        tool.set_point(int(body["index"]),
+                                       float(body["value"]))
+                    else:   # del
+                        tool.delete_point(int(body["index"]))
+                    return {"ok": True}
+                self._guard(_point)
             elif self.path.startswith("/api/thr_params"):
-                session.threshold_tool(int(body["kf"]),
-                                       **body.get("params", {}))
-                self._json({"ok": True})
+                self._guard(lambda: session.threshold_tool(
+                    int(body["kf"]), **body.get("params", {})))
             elif self.path.startswith("/api/thr_apply"):
-                session.threshold_apply(int(body["kf"]))
-                self._json({"ok": True})
+                self._guard(lambda: session.threshold_apply(
+                    int(body["kf"])))
             elif self.path.startswith("/api/classical_apply"):
-                session.classical_apply(int(body["kf"]),
-                                        int(body.get("method", 2)))
-                self._json({"ok": True})
+                self._guard(lambda: session.classical_apply(
+                    int(body["kf"]), int(body.get("method", 2))))
             elif self.path.startswith("/api/save"):
                 self._json({"ok": True, "prefix": session.save()})
             else:

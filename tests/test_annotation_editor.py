@@ -88,6 +88,9 @@ def test_object_timeline_interpolation(workspace):
     assert session.state()["objects"]["spk"]["frames"] == [2]
     with pytest.raises(ValueError):
         session.del_location("speaker", 10)
+    with pytest.raises(ValueError):
+        session.del_location("speaker", 2)   # last keypose: refuse —
+    session.state()                          # ...the object stays queryable
 
     session.rename_object("speaker", "spk2", "speaker2")
     assert session.state()["objects"]["spk2"]["name"] == "speaker2"
@@ -132,7 +135,10 @@ def test_render_frame_overlays(workspace):
     rendered = session.render_frame(6)
     assert rendered.shape == plain.shape
     assert (rendered != plain).any()           # overlays drawn
-    assert (session.render_frame(0) == session.frame(0)).all() or True
+    # frame 0 precedes the object's first keypose and carries no markers:
+    # rendering must leave it untouched
+    np.testing.assert_array_equal(session.render_frame(0),
+                                  session.frame(0))
 
 
 def test_http_annotation_surface(workspace):

@@ -363,11 +363,14 @@ def test_http_threshold_surface(workspace):
                                     timeout=30) as r:
             assert r.read()[:4] == b"\x89PNG"
 
-        before = session.binary(kf0).copy()
         assert post("/api/thr_apply", {"kf": kf0})["ok"]
-        assert (session.binary(kf0) != before).any() or True  # committed
         np.testing.assert_array_equal(session.binary(kf0),
                                       session.threshold_preview(kf0))
+        # stale point index: JSON error, not a dead handler thread
+        assert not post("/api/thr_point", {"kf": kf0, "op": "set",
+                                           "index": 9999, "value": 1})["ok"]
+        assert not post("/api/thr_params",
+                        {"kf": kf0, "params": {"nope": 1}})["ok"]
 
         assert post("/api/classical_apply", {"kf": kf0, "method": 2})["ok"]
     finally:
