@@ -660,9 +660,102 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
     }
 
 
+def measure_serving(width: int = 960, height: int = 540,
+                    concurrency=(1, 8), requests_per_level: int = 24,
+                    max_batch: int = 8, window_ms: float = 5.0):
+    """Serving-surface bench: a resident BinarizeService at the production
+    bucket with the production-width threshold-head model; per-request
+    latency and aggregate throughput at several client concurrency levels
+    (micro-batching aggregates concurrent callers into one dispatch).
+
+    Latency includes the full request contract — host resize, device
+    forward, and the binary download back to the caller — so behind the
+    remote tunnel it is dominated by moving the (unpacked) binary down
+    the link, exactly what a remote caller would experience."""
+    import threading
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from lecturemath_tpu.models.fcn_lecturenet import (FCNConfig,
+                                                       FCNLectureNet)
+    from lecturemath_tpu.pipeline.binarize import Binarizer
+    from lecturemath_tpu.pipeline.server import BinarizeService
+    from lecturemath_tpu.utils.synthetic import (synthetic_lecture,
+                                                 threshold_binarizer_variables)
+
+    net_config = FCNConfig()   # production widths
+    model = FCNLectureNet(net_config)
+    binarizer = Binarizer(model, threshold_binarizer_variables(net_config),
+                          upload_format="auto")   # yuv420 behind the tunnel
+    service = BinarizeService(binarizer, model_size=(width, height),
+                              max_batch=max_batch, batch_window_ms=window_ms)
+    frames, _, _ = synthetic_lecture(seed=3, n_frames=2, height=height,
+                                     width=width, n_boards=3,
+                                     glyphs_per_board=40)
+    frame = np.stack([frames[0]] * 3, axis=-1) if frames[0].ndim == 2 \
+        else frames[0]
+
+    levels = []
+    for level in concurrency:
+        n_total = requests_per_level
+        latencies = []
+        lock = threading.Lock()
+        before = service.stats()
+
+        def client(n):
+            for _ in range(n):
+                start = time.perf_counter()
+                binary = service.binarize_rgb(frame)
+                elapsed = time.perf_counter() - start
+                assert binary.shape == (height, width)
+                with lock:
+                    latencies.append(elapsed)
+
+        per_client = max(1, n_total // level)
+        threads = [threading.Thread(target=client, args=(per_client,))
+                   for _ in range(level)]
+        wall = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - wall
+        after = service.stats()
+        done = len(latencies)
+        latencies.sort()
+        levels.append({
+            "concurrency": level,
+            "requests": done,
+            "requests_per_sec": round(done / wall, 2),
+            "latency_p50_ms": round(latencies[done // 2] * 1e3, 1),
+            "latency_p95_ms": round(latencies[int(done * 0.95)] * 1e3, 1),
+            "dispatches": after["batches"] - before["batches"],
+            "mean_batch": round(done / max(1, after["batches"]
+                                           - before["batches"]), 2),
+        })
+    service.close()
+    best = max(levels, key=lambda entry: entry["requests_per_sec"])
+    return {
+        "metric": f"serving requests/sec ({width}x{height}, production "
+                  f"widths, micro-batched)",
+        "value": best["requests_per_sec"],
+        "unit": "requests/sec",
+        "vs_baseline": None,   # the reference has no serving surface
+        "levels": levels,
+        "device": jax.devices()[0].device_kind,
+        "note": "latency includes the unpacked-binary download to the "
+                "caller (tunnel-bound on this rig)",
+    }
+
+
 def main():
     if "--train" in sys.argv:
         print(json.dumps(measure_training()))
+        return
+    if "--serve" in sys.argv:
+        print(json.dumps(measure_serving()))
         return
     stage01_fps, full_fps = get_baseline_fps()
     ours_fps, extras = measure_ours()

@@ -14,7 +14,11 @@ exit); re-designed serving-first for TPU:
     frame back;
   * inputs are resized host-side to ONE fixed model bucket so XLA never
     sees a new shape (a new shape means a multi-second recompile mid-
-    serving); outputs return at the caller's original resolution.
+    serving); outputs return at the caller's original resolution;
+  * results leave the device BIT-PACKED (1 bit/pixel, the stage-01
+    download optimization) and unpack on host — behind a slow
+    host<->device link the binary download dominates request latency,
+    and packing cuts it 8x.
 
 Run via ``python -m lecturemath_tpu.cli.serve <config> [-port N]``;
 programmatic use via BinarizeService. The HTTP contract:
@@ -75,13 +79,27 @@ class BinarizeService:
         self._stats = {"requests": 0, "batches": 0, "frames": 0,
                        "last_batch": 0, "last_latency_ms": 0.0,
                        "started": time.time()}
+        # packed device output: 1 bit/pixel off the device, host unpack.
+        # yuv420 uploads (half the bytes up — what stage 01 ships behind a
+        # tunnel) are honored when the bucket satisfies I420's geometry;
+        # otherwise rebuild the packed fn for plain RGB uploads.
+        self._use_packed = binarizer._packed_fn is not None
+        if self._use_packed and binarizer.upload_format == "yuv420":
+            width, height = self.model_size
+            if width % 2 or height % 4:
+                from ..models.fcn_lecturenet import make_packed_binarizer
+
+                binarizer.upload_format = "rgb"
+                binarizer._packed_fn = make_packed_binarizer(
+                    binarizer.model, binarizer.variables,
+                    threshold=binarizer.threshold)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         if warmup:   # pay every bucket's compile before the first caller
             width, height = self.model_size
             for bucket in self.batch_buckets:
                 frames = np.zeros((bucket, height, width, 3), np.uint8)
-                self.binarizer.binarize_frames(frames)
+                self._dispatch(frames)
 
     # ------------------------------------------------------------- public
 
@@ -137,6 +155,23 @@ class BinarizeService:
 
     # ------------------------------------------------------------- worker
 
+    def _dispatch(self, frames: np.ndarray) -> np.ndarray:
+        """One device dispatch: uint8 RGB [B, H, W, 3] -> binary
+        [B, H, W] ink=0/bg=255, via the bit-packed download when
+        available."""
+        if not self._use_packed:
+            return self.binarizer.binarize_frames(frames)
+        from ..models.fcn_lecturenet import unpack_bits_host
+
+        if self.binarizer.upload_format == "yuv420":
+            from ..models.fcn_lecturenet import rgb_to_yuv420_host
+
+            frames = rgb_to_yuv420_host(frames)
+        device_packed = self.binarizer._packed_fn(
+            self.binarizer._to_device(frames))
+        host = self.binarizer._fetch(device_packed)
+        return unpack_bits_host(host, self.model_size[0])
+
     def _run(self) -> None:
         while True:
             item = self._queue.get()
@@ -164,7 +199,7 @@ class BinarizeService:
                               if b >= len(batch))
                 frames = np.stack([entry.frame for entry in batch]
                                   + [batch[0].frame] * (bucket - len(batch)))
-                binaries = self.binarizer.binarize_frames(frames)
+                binaries = self._dispatch(frames)
                 for entry, binary in zip(batch, binaries):
                     entry.result = np.asarray(binary)
             except Exception as err:  # noqa: BLE001 — deliver to callers
