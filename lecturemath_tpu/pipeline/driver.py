@@ -150,6 +150,13 @@ class PipelineDriver:
             shard_index, shard_count = (int(part) for part in
                                         str(self.params["shard"]).split("/"))
 
+        # dynamic alternative: "-queue dir" claims lectures first-come-
+        # first-served through a shared claim directory (parallel/
+        # work_queue.py) — long lectures no longer idle the other hosts
+        queue_dir = self.params.get("queue")
+        if queue_dir is not None and "shard" in self.params:
+            raise ValueError("-shard and -queue are mutually exclusive")
+
         position = 0
         for lecture in self.database.lectures:
             title = lecture.title.lower()
@@ -164,6 +171,23 @@ class PipelineDriver:
                 print(f"Skipping <{lecture.title}> (other shard)")
                 continue
             position += 1
+            if queue_dir is not None:
+                from ..parallel.work_queue import claim, release
+
+                if not claim(str(queue_dir), lecture.title):
+                    print(f"Skipping <{lecture.title}> (claimed elsewhere)")
+                    continue
+                print(f"Processing <{lecture.title}> (claimed)")
+                self.current_lecture = lecture
+                try:
+                    yield lecture
+                except GeneratorExit:
+                    # consumer stopped (break or error unwinding) — we
+                    # cannot tell whether this lecture completed; leave
+                    # the claim in-progress for requeue_stale to recycle
+                    raise
+                release(str(queue_dir), lecture.title, ok=True)
+                continue
             print(f"Processing <{lecture.title}>")
             self.current_lecture = lecture
             yield lecture

@@ -1,0 +1,149 @@
+"""Dynamic multi-host lecture scheduling: filesystem claim queue
+(parallel/work_queue.py) and its -queue wiring in the pipeline driver."""
+
+import json
+import multiprocessing
+import os
+
+import pytest
+
+from lecturemath_tpu.core.config import Config
+from lecturemath_tpu.core.metadata import MetaDataDB
+from lecturemath_tpu.parallel.work_queue import (claim, queue_state,
+                                                 release, requeue_stale)
+from lecturemath_tpu.pipeline.driver import PipelineDriver
+
+DB_XML = """<AccessMath><DataBase><Name>WQDB</Name>
+<OutputPaths><Temporal>temporal</Temporal><Images>images</Images>
+<Videos>videos</Videos><Annotations>annotations</Annotations>
+<Summaries>summaries</Summaries></OutputPaths>
+<Datasets><Testing>{titles}</Testing></Datasets>
+<Lectures>{lectures}</Lectures></DataBase></AccessMath>
+"""
+
+
+def _db_xml(n):
+    titles = "".join(f"<LectureTitle>lec{k:02d}</LectureTitle>"
+                     for k in range(n))
+    lectures = "".join(
+        f"<Lecture><Id>lec{k:02d}</Id><Title>lec{k:02d}</Title>"
+        f"<Parameters></Parameters><Videos><Main><Video>"
+        f"<Path>lec{k:02d}.mp4</Path></Video></Main></Videos></Lecture>"
+        for k in range(n))
+    return DB_XML.format(titles=titles, lectures=lectures)
+
+
+def test_claim_release_state(tmp_path):
+    queue = str(tmp_path / "q")
+    assert claim(queue, "lec01")
+    assert not claim(queue, "lec01")          # second claim loses
+    assert claim(queue, "lec02")
+    release(queue, "lec01", ok=True)
+    release(queue, "lec02", ok=False)
+    state = queue_state(queue)
+    assert state["lec01"]["done"] is True
+    assert state["lec02"]["done"] is False
+    assert state["lec01"]["pid"] == os.getpid()
+
+
+def _claim_worker(queue, items, out_path):
+    mine = [item for item in items if claim(queue, item)]
+    with open(out_path, "w") as f:
+        json.dump(mine, f)
+
+
+def test_cross_process_claims_disjoint_and_complete(tmp_path):
+    """Two real processes racing over the same queue: every item claimed
+    exactly once, union complete (O_CREAT|O_EXCL atomicity)."""
+    queue = str(tmp_path / "q")
+    items = [f"lec{k:02d}" for k in range(16)]
+    outs = [str(tmp_path / f"out{p}.json") for p in range(2)]
+    procs = [multiprocessing.Process(target=_claim_worker,
+                                     args=(queue, items, outs[p]))
+             for p in range(2)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    claimed = []
+    for out in outs:
+        with open(out) as f:
+            claimed.extend(json.load(f))
+    assert sorted(claimed) == items           # complete and disjoint
+
+
+def test_requeue_stale(tmp_path):
+    queue = str(tmp_path / "q")
+    assert claim(queue, "alive")
+    assert claim(queue, "crashed")
+    assert claim(queue, "finished")
+    release(queue, "finished", ok=True)
+    # age only the crashed claim
+    path = os.path.join(queue, "crashed.claim")
+    with open(path) as f:
+        record = json.load(f)
+    record["claimed_at"] -= 10_000
+    with open(path, "w") as f:
+        json.dump(record, f)
+
+    requeued = requeue_stale(queue, max_age_s=3600)
+    assert requeued == ["crashed"]
+    assert claim(queue, "crashed")            # claimable again
+    assert not claim(queue, "alive")          # fresh claim untouched
+    assert queue_state(queue)["finished"]["done"] is True
+
+
+@pytest.fixture()
+def driver_workspace(tmp_path):
+    (tmp_path / "db.xml").write_text(_db_xml(5))
+    (tmp_path / "wq.conf").write_text(
+        f"VIDEO_DATABASE_PATH = {tmp_path}/db.xml\n"
+        f"OUTPUT_PATH = {tmp_path}/output\n")
+    return tmp_path
+
+
+def _drive(root, argv):
+    driver = PipelineDriver.from_config_path(str(root / "wq.conf"),
+                                             argv, None, None)
+    driver.database = MetaDataDB.from_file(str(root / "db.xml"))
+    return driver
+
+
+def test_driver_queue_mode(driver_workspace):
+    """Two drivers sharing one -queue dir split the lectures dynamically:
+    disjoint coverage, complete union, claims marked done."""
+    queue = str(driver_workspace / "claims")
+    a = _drive(driver_workspace, ["-queue", queue])
+    b = _drive(driver_workspace, ["-queue", queue])
+
+    it_a, it_b = a.iter_lectures(), b.iter_lectures()
+    seen_a, seen_b = [], []
+    # interleave: a claims one, then b runs dry, then a drains the rest
+    seen_a.append(next(it_a).title)
+    seen_b.extend(lec.title for lec in it_b)
+    seen_a.extend(lec.title for lec in it_a)
+
+    assert sorted(seen_a + seen_b) == [f"lec{k:02d}" for k in range(5)]
+    assert not (set(seen_a) & set(seen_b))
+    assert len(seen_b) == 4                   # b grabbed all but a's first
+    state = queue_state(queue)
+    assert len(state) == 5
+    assert all(record["done"] for record in state.values())
+
+
+def test_driver_queue_respects_filters(driver_workspace):
+    queue = str(driver_workspace / "claims2")
+    driver = _drive(driver_workspace,
+                    ["-queue", queue, "-l", "lec01", "lec03"])
+    titles = [lec.title for lec in driver.iter_lectures()]
+    assert titles == ["lec01", "lec03"]
+    assert sorted(queue_state(queue)) == ["lec01", "lec03"]
+
+
+def test_driver_queue_shard_exclusive(driver_workspace):
+    driver = _drive(driver_workspace,
+                    ["-queue", str(driver_workspace / "q"),
+                     "-shard", "0/2"])
+    with pytest.raises(ValueError):
+        list(driver.iter_lectures())
