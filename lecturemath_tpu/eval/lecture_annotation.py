@@ -16,6 +16,93 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
+def polygon_area(points: np.ndarray) -> float:
+    """Shoelace area of a simple polygon [N, 2]."""
+    x, y = points[:, 0], points[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _is_convex(points: np.ndarray) -> bool:
+    edges = np.roll(points, -1, axis=0) - points
+    nxt = np.roll(edges, -1, axis=0)
+    cross = edges[:, 0] * nxt[:, 1] - edges[:, 1] * nxt[:, 0]
+    return not ((cross > 1e-12).any() and (cross < -1e-12).any())
+
+
+def _orient_ccw(points: np.ndarray) -> np.ndarray:
+    x, y = points[:, 0], points[:, 1]
+    signed = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    return points[::-1] if signed < 0 else points
+
+
+def _clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip a simple polygon by a CONVEX polygon."""
+    clip = _orient_ccw(np.asarray(clip, dtype=np.float64))
+    out = [tuple(p) for p in np.asarray(subject, dtype=np.float64)]
+    for i in range(len(clip)):
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % len(clip)]
+        if not out:
+            break
+        cur_pts, out = out, []
+        for j, cur in enumerate(cur_pts):
+            prev = cur_pts[j - 1]
+            cur_side = (bx - ax) * (cur[1] - ay) - (by - ay) * (cur[0] - ax)
+            prev_side = (bx - ax) * (prev[1] - ay) - (by - ay) * (prev[0] - ax)
+            if cur_side >= 0:
+                if prev_side < 0:
+                    out.append(_edge_cross(prev, cur, (ax, ay), (bx, by)))
+                out.append(cur)
+            elif prev_side >= 0:
+                out.append(_edge_cross(prev, cur, (ax, ay), (bx, by)))
+    return np.array(out, dtype=np.float64).reshape(-1, 2)
+
+
+def _edge_cross(p1, p2, a, b):
+    d1 = (b[0] - a[0]) * (p1[1] - a[1]) - (b[1] - a[1]) * (p1[0] - a[0])
+    d2 = (b[0] - a[0]) * (p2[1] - a[1]) - (b[1] - a[1]) * (p2[0] - a[0])
+    t = d1 / (d1 - d2)
+    return (p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1]))
+
+
+def _raster_intersection_area(p: np.ndarray, q: np.ndarray) -> float:
+    """Pixel-center-sampling fallback for non-convex x non-convex:
+    unbiased (no boundary inflation), resolution adapted to the overlap
+    bbox so the sample count stays ~2M regardless of polygon size."""
+    from matplotlib.path import Path
+
+    lo = np.maximum(p.min(axis=0), q.min(axis=0))
+    hi = np.minimum(p.max(axis=0), q.max(axis=0))
+    extent = hi - lo
+    if (extent <= 0).any():
+        return 0.0
+    scale = float(np.clip(np.sqrt(2e6 / (extent[0] * extent[1])), 4, 256))
+    nx, ny = (np.ceil(extent * scale).astype(np.int64) + 1)
+    xs = lo[0] + (np.arange(nx) + 0.5) / scale
+    ys = lo[1] + (np.arange(ny) + 0.5) / scale
+    grid_x, grid_y = np.meshgrid(xs, ys)
+    pts = np.column_stack([grid_x.ravel(), grid_y.ravel()])
+    inside = Path(p).contains_points(pts) & Path(q).contains_points(pts)
+    return float(np.count_nonzero(inside)) / (scale * scale)
+
+
+def polygon_intersection_area(p: np.ndarray, q: np.ndarray) -> float:
+    """Area of the intersection of two simple polygons. Exact when either
+    is convex (the common case: annotation boxes are rects/quads);
+    rasterized estimate otherwise (reference uses shapely, which is not
+    in this image — video_object_location.py:54-56)."""
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    if len(p) < 3 or len(q) < 3:
+        return 0.0
+    if _is_convex(q):
+        clipped = _clip_convex(p, q)
+        return polygon_area(clipped) if len(clipped) >= 3 else 0.0
+    if _is_convex(p):
+        return polygon_intersection_area(q, p)
+    return _raster_intersection_area(p, q)
+
+
 @dataclass
 class ObjectLocation:
     visible: bool
@@ -23,6 +110,29 @@ class ObjectLocation:
     abs_time: float
     polygon_points: np.ndarray  # float [N, 2]
     label: Optional[str] = None
+
+    def area(self) -> float:
+        """(reference: video_object_location.py:51-52)."""
+        return polygon_area(self.polygon_points)
+
+    def intersection_area(self, other: "ObjectLocation") -> float:
+        """(reference: video_object_location.py:54-56)."""
+        return polygon_intersection_area(self.polygon_points,
+                                         other.polygon_points)
+
+    def intersection_percentage(self, other: "ObjectLocation") -> float:
+        """Fraction of THIS polygon's area covered by `other`
+        (reference: video_object_location.py:58-62)."""
+        return self.intersection_area(other) / self.area()
+
+    def iou(self, other: "ObjectLocation") -> float:
+        """(reference: video_object_location.py:64-70)."""
+        inter = self.intersection_area(other)
+        return inter / (self.area() + other.area() - inter)
+
+    def get_polygon_points(self) -> List[Tuple[float, float]]:
+        """(reference: video_object_location.py:78-79)."""
+        return [(x, y) for x, y in self.polygon_points]
 
     @staticmethod
     def interpolate(loc1: "ObjectLocation", loc2: "ObjectLocation",
@@ -162,29 +272,48 @@ class DrawingInfo:
 
     @staticmethod
     def from_xml(root: ET.Element) -> "DrawingInfo":
+        """Reads the reference schema (Canvas + Player/ControlArea +
+        Player/RenderArea — drawing_info.py:113-129) and, for files saved
+        by earlier versions of this package, the flat
+        PlayerControl/PlayerRender tags."""
         node = root.find("DrawingInfo")
         if node is None:
             return DrawingInfo()
 
-        def bbox(tag):
-            sub = node.find(tag)
+        def bbox(sub):
             if sub is None:
                 return (0, 0, 1, 1)
             return tuple(float(sub.findtext(axis, "0"))
                          for axis in ("X", "Y", "W", "H"))
 
-        return DrawingInfo(bbox("Canvas"), bbox("PlayerControl"),
-                           bbox("PlayerRender"))
+        player = node.find("Player")
+        if player is not None:
+            control, render = (player.find("ControlArea"),
+                               player.find("RenderArea"))
+        else:
+            control, render = (node.find("PlayerControl"),
+                               node.find("PlayerRender"))
+        return DrawingInfo(bbox(node.find("Canvas")), bbox(control),
+                           bbox(render))
 
     def to_xml(self) -> str:
-        def bbox(tag, box):
+        """Writes the reference schema (drawing_info.py:83-108)."""
+        def bbox(box, indent):
             x, y, w, h = box
-            return (f"    <{tag}><X>{x}</X><Y>{y}</Y>"
-                    f"<W>{w}</W><H>{h}</H></{tag}>\n")
+            return (f"{indent}<X>{x}</X>{indent}<Y>{y}</Y>"
+                    f"{indent}<W>{w}</W>{indent}<H>{h}</H>")
 
-        return ("  <DrawingInfo>\n" + bbox("Canvas", self.canvas_bbox) +
-                bbox("PlayerControl", self.player_control_bbox) +
-                bbox("PlayerRender", self.player_render_bbox) +
+        return ("  <DrawingInfo>\n"
+                "     <Canvas>" + bbox(self.canvas_bbox, "\n         ") +
+                "\n     </Canvas>\n"
+                "     <Player>\n"
+                "         <ControlArea>" +
+                bbox(self.player_control_bbox, "\n             ") +
+                "\n         </ControlArea>\n"
+                "         <RenderArea>" +
+                bbox(self.player_render_bbox, "\n             ") +
+                "\n         </RenderArea>\n"
+                "     </Player>\n"
                 "  </DrawingInfo>\n")
 
 
@@ -202,6 +331,32 @@ class LectureAnnotation:
         self.video_objects: Dict[str, TimelineObject] = {}
         self.video_segments: List[int] = []          # interior split points
         self.video_segment_keyframes: List[int] = []
+
+        self.frame_width: Optional[int] = None
+        self.frame_height: Optional[int] = None
+
+    # -------------------------------------------------------- projection
+
+    def set_frame_resolution(self, width: int, height: int) -> None:
+        """(reference: lecture_annotation.py:29-31)."""
+        self.frame_width = int(width)
+        self.frame_height = int(height)
+
+    def project_object_location(self, loc: ObjectLocation) -> ObjectLocation:
+        """Map annotation-canvas coordinates to frame pixels using the
+        GUI viewport geometry (reference: lecture_annotation.py:135-151;
+        requires set_frame_resolution first)."""
+        off_x = (self.drawing_info.player_render_bbox[0]
+                 - self.drawing_info.canvas_bbox[0])
+        off_y = (self.drawing_info.player_render_bbox[1]
+                 - self.drawing_info.canvas_bbox[1])
+        scale_x = self.frame_width / self.drawing_info.player_render_bbox[2]
+        scale_y = self.frame_height / self.drawing_info.player_render_bbox[3]
+        points = loc.polygon_points - np.array([[off_x, off_y]])
+        points[:, 0] *= scale_x
+        points[:, 1] *= scale_y
+        return ObjectLocation(loc.visible, loc.frame, loc.abs_time, points,
+                              loc.label)
 
     # -------------------------------------------------------------- XML
 

@@ -41,17 +41,78 @@ def ensure_oracle():
     if not hasattr(np, "bool"):
         np.bool = bool  # reference keyframe_extractor.py uses np.bool
 
-    # shapely isn't in the image; the reference only needs Polygon as a
-    # container for annotation polygons in the paths we exercise
+    # shapely isn't in the image. The stub Polygon provides the area /
+    # intersection surface VideoObjectLocation uses, implemented with an
+    # exact convex-convex algorithm (vertex containment + edge crossings
+    # + angular sort) that is INDEPENDENT of the package's
+    # Sutherland-Hodgman clipping, so exporter parity tests are honest.
     if "shapely" not in sys.modules:
         import types
 
+        import numpy as np
+
+        def _shoelace(pts):
+            x, y = pts[:, 0], pts[:, 1]
+            return 0.5 * abs(np.dot(x, np.roll(y, -1)) -
+                             np.dot(y, np.roll(x, -1)))
+
+        def _inside_convex(pt, poly):
+            # all cross products same sign for a convex polygon boundary
+            a = poly
+            b = np.roll(poly, -1, axis=0)
+            cross = ((b[:, 0] - a[:, 0]) * (pt[1] - a[:, 1]) -
+                     (b[:, 1] - a[:, 1]) * (pt[0] - a[:, 0]))
+            return (cross >= -1e-9).all() or (cross <= 1e-9).all()
+
+        def _seg_cross(p1, p2, q1, q2):
+            r = p2 - p1
+            s = q2 - q1
+            denom = r[0] * s[1] - r[1] * s[0]
+            if abs(denom) < 1e-12:
+                return None
+            t = ((q1[0] - p1[0]) * s[1] - (q1[1] - p1[1]) * s[0]) / denom
+            u = ((q1[0] - p1[0]) * r[1] - (q1[1] - p1[1]) * r[0]) / denom
+            if -1e-9 <= t <= 1 + 1e-9 and -1e-9 <= u <= 1 + 1e-9:
+                return p1 + t * r
+            return None
+
+        def _convex_intersection_area(p, q):
+            pts = [v for v in p if _inside_convex(v, q)]
+            pts += [v for v in q if _inside_convex(v, p)]
+            for i in range(len(p)):
+                for j in range(len(q)):
+                    hit = _seg_cross(p[i], p[(i + 1) % len(p)],
+                                     q[j], q[(j + 1) % len(q)])
+                    if hit is not None:
+                        pts.append(hit)
+            if len(pts) < 3:
+                return 0.0
+            pts = np.array(pts)
+            center = pts.mean(axis=0)
+            order = np.argsort(np.arctan2(pts[:, 1] - center[1],
+                                          pts[:, 0] - center[0]))
+            return _shoelace(pts[order])
+
         class _Polygon:
             def __init__(self, points):
-                self.points = points
+                self.points = np.asarray(points, dtype=np.float64)
 
             def __str__(self):
                 return f"Polygon({len(self.points)} pts)"
+
+            @property
+            def area(self):
+                return _shoelace(self.points)
+
+            def intersection(self, other):
+                area = _convex_intersection_area(self.points, other.points)
+                result = types.SimpleNamespace()
+                result.area = area
+                return result
+
+            def intersects(self, other):
+                return (_convex_intersection_area(self.points,
+                                                  other.points) > 1e-9)
 
         class _Point:
             def __init__(self, *args):
@@ -143,3 +204,23 @@ def oracle_space_time_struct(*args, **kwargs):
     ensure_oracle()
     from AccessMath.data.space_time_struct import SpaceTimeStruct
     return SpaceTimeStruct(*args, **kwargs)
+
+
+def oracle_text_annotation_exporter():
+    ensure_oracle()
+    from AccessMath.annotation.text_annotation_exporter import \
+        TextAnnotationExporter
+    return TextAnnotationExporter
+
+
+def oracle_text_detection_evaluator():
+    ensure_oracle()
+    from AccessMath.evaluation.text_detection_evaluator import \
+        TextDetectionEvaluator
+    return TextDetectionEvaluator
+
+
+def oracle_lecture_annotation_class():
+    ensure_oracle()
+    from AccessMath.annotation.lecture_annotation import LectureAnnotation
+    return LectureAnnotation
