@@ -91,6 +91,7 @@ class MetaDataDB:
         self.output_summaries = "summaries"
         self.lectures: List[LectureInfo] = []
         self.datasets: Dict[str, DataSet] = {}
+        self.indexing = None  # Optional[IndexingInfo]
 
     @classmethod
     def from_file(cls, path: str) -> "MetaDataDB":
@@ -123,6 +124,12 @@ class MetaDataDB:
                 dataset.lectures = [by_title[t.lower()] for t in titles
                                     if t.lower() in by_title]
                 db.datasets[dataset_node.tag.lower()] = dataset
+
+        indexing_root = data.find("LectureIndexing")
+        if indexing_root is not None and len(indexing_root):
+            from ..data.indexing_info import IndexingInfo
+
+            db.indexing = IndexingInfo.from_xml(indexing_root)
 
         return db
 
