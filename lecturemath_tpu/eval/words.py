@@ -266,24 +266,53 @@ class KeyFrameWords:
                    RegionTree.from_binary(inverted))
 
 
-def save_word_annotations(path: str,
-                          all_words: Sequence[KeyFrameWords]) -> None:
-    """word_annotations.xml: <WordAnnotations><VideoKeyFramesWords>
-    (reference: gt_word_annotator.py:716-724)."""
+def save_word_annotations(path: str, all_words: Sequence[KeyFrameWords],
+                          trees_only: bool = False) -> None:
+    """word_annotations.xml: <WordAnnotations><VideoKeyFramesWords>.
+
+    Two reference schemas exist: the rich one embedding each keyframe's
+    projection (KeyFramesWordsToXML, keyframe_words.py:80-87) and the
+    trees-only one the GTWordAnnotator tool actually writes
+    (gt_word_annotator.py:712-724, SegmentationTreesToXML) — projections
+    then live in projections.xml. ``trees_only=True`` emits the latter.
+    """
     root = ET.Element("WordAnnotations")
     group = ET.SubElement(root, "VideoKeyFramesWords")
     for words in all_words:
-        group.append(words.to_xml_element())
+        if trees_only:
+            group.append(words.tree.root.to_xml(
+                ET.Element("SegmentationTree")))
+        else:
+            group.append(words.to_xml_element())
     with open(path, "w") as f:
         f.write(ET.tostring(root, encoding="unicode"))
 
 
-def load_word_annotations(path: str, keyframes) -> List[KeyFrameWords]:
+def load_word_annotations(path: str, keyframes,
+                          projections=None) -> List[KeyFrameWords]:
+    """Load either word_annotations.xml schema (auto-detected by child
+    tag). Trees-only files are loaded over the UNWARPED inverted binary
+    with the supplied (or default) projections, exactly like the
+    reference annotator (gt_word_annotator.py:114-124)."""
     root = ET.parse(path).getroot()
     group = root.find("VideoKeyFramesWords")
-    return [KeyFrameWords.from_xml(node, keyframe)
-            for node, keyframe in zip(group.findall("KeyFrameWords"),
-                                      keyframes)]
+    out = []
+    for idx, node in enumerate(group):
+        keyframe = keyframes[idx]
+        if node.tag == "KeyFrameWords":
+            out.append(KeyFrameWords.from_xml(node, keyframe))
+            continue
+        binary = keyframe.binary_image
+        inverted = 255 - (binary[:, :, 0] if binary.ndim == 3 else binary)
+        tree = RegionTree.from_xml_string(
+            ET.tostring(node, encoding="unicode"), inverted)
+        if projections is not None and idx < len(projections):
+            projection = projections[idx]
+        else:
+            height, width = keyframe.raw_image.shape[:2]
+            projection = KeyFrameProjection.create_default(width, height)
+        out.append(KeyFrameWords(keyframe, projection, tree))
+    return out
 
 
 # ----------------------------------------------------------- unique words
@@ -331,7 +360,7 @@ def unique_words_to_xml(all_kf_words: Sequence[KeyFrameWords],
     for kf_words in all_kf_words:
         kf_node = ET.SubElement(video, "KeyFrameWords")
         words_node = ET.SubElement(kf_node, "Words")
-        for word in kf_words.get_words():
+        for word in _words_of(kf_words):
             ET.SubElement(words_node, "Word").text = word_id(word)
     groups_node = ET.SubElement(root, "WordGroups")
     for group in groups:
@@ -349,20 +378,25 @@ def save_unique_words(path: str, all_kf_words, groups) -> None:
         f.write(unique_words_to_xml(all_kf_words, groups))
 
 
-def load_unique_words(path: str, all_kf_words: Sequence[KeyFrameWords]):
-    """Load unique-word groups, reconciling the file against the CURRENT
-    word segmentation (reference GroupsFromXML, unique_word_group.py:
-    26-139): words missing from the segmentation truncate their group,
-    new segmentation words get singleton groups. Returns
+def _words_of(kf_words) -> List[tuple]:
+    """Accept either KeyFrameWords or a plain list of (x, y, w, h)."""
+    if hasattr(kf_words, "get_words"):
+        return kf_words.get_words()
+    return list(kf_words)
+
+
+def unique_words_from_root(root: ET.Element, all_kf_words):
+    """Reconcile parsed unique-word XML against the CURRENT word
+    segmentation (reference GroupsFromXML, unique_word_group.py:26-139):
+    words missing from the segmentation truncate their group, new
+    segmentation words get singleton groups. Returns
     (word_group maps per keyframe, groups)."""
     word_group: List[Dict[str, Optional[UniqueWordGroup]]] = []
     word_index: List[Dict[str, tuple]] = []
     for kf_words in all_kf_words:
-        ids = {word_id(word): word for word in kf_words.get_words()}
+        ids = {word_id(word): word for word in _words_of(kf_words)}
         word_group.append({wid: None for wid in ids})
         word_index.append(ids)
-
-    root = ET.parse(path).getroot()
     groups: List[UniqueWordGroup] = []
     for group_node in root.find("WordGroups").findall("WordGroup"):
         start = int(group_node.findtext("Start").strip())
@@ -392,6 +426,26 @@ def load_unique_words(path: str, all_kf_words: Sequence[KeyFrameWords]):
                 mapping[wid] = group
                 groups.append(group)
     return word_group, groups
+
+
+def default_word_groups(all_kf_words):
+    """Singleton groups for every word (the annotator's no-file default,
+    gt_unique_word_annotator.py:128-148)."""
+    word_group: List[Dict[str, UniqueWordGroup]] = []
+    groups: List[UniqueWordGroup] = []
+    for kf_idx, kf_words in enumerate(all_kf_words):
+        mapping = {}
+        for word in _words_of(kf_words):
+            group = UniqueWordGroup(word, kf_idx)
+            mapping[word_id(word)] = group
+            groups.append(group)
+        word_group.append(mapping)
+    return word_group, groups
+
+
+def load_unique_words(path: str, all_kf_words):
+    """Load + reconcile unique_words.xml (see unique_words_from_root)."""
+    return unique_words_from_root(ET.parse(path).getroot(), all_kf_words)
 
 
 # -------------------------------------------------------------- formulas
