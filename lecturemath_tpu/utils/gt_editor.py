@@ -17,6 +17,14 @@ unique_ccs.xml are rewritten).
 The edit loop is a headless-testable session object (GTEditorSession); the
 UI is a thin stdlib HTTP server + embedded canvas page (`serve`), launched
 via ``python -m lecturemath_tpu.cli.gt_editor <config> -l <lecture>``.
+
+Portion-tier editing (reference: gt_keyframe_annotator.py:27 — the
+GTKeyFrameAnnotator screen) is covered by the portion ops: add a portion
+by binarizing a selected rectangle (btn_portions_add_click:647 + the
+GTBinaryAnnotator hand-off), move (:1245) / invert (:687) / delete (:671)
+a portion, and copy a portion to the previous/next keyframe with the
+reference's MSE-gated +-10 px offset search (copy_frame_portion:1160-1208,
+``best_copy_offset`` here is that scan, same order and 900.0 MSE gate).
 """
 
 from __future__ import annotations
@@ -202,6 +210,36 @@ class ThresholdTool:
         return np.where(ink, 0, 255).astype(np.uint8)
 
 
+def best_copy_offset(source_gray: np.ndarray, target_gray: np.ndarray,
+                     x: int, y: int, w: int, h: int,
+                     window: int = 10,
+                     max_mse: float = 900.0) -> Tuple[int, int, float]:
+    """Best (dx, dy) alignment of the source rect on the target frame —
+    the reference's portion-copy offset search (gt_keyframe_annotator.py:
+    1160-1208): scan offsets in [-window, window]^2 (x-major, same order),
+    score = mean squared grayscale error over the rect, keep the first
+    strict minimum; fall back to (0, 0) when even the best exceeds the
+    ``PortionCopy_MaxMSE`` gate (= 900, a 30x30 mean)."""
+    fh, fw = target_gray.shape[:2]
+    source_cut = source_gray[y:y + h, x:x + w].astype(np.int32)
+    best = None  # (score, dx, dy)
+    for dx in range(-window, window + 1):
+        tx0, tx1 = x + dx, x + w + dx
+        if tx0 < 0 or tx1 > fw:
+            continue
+        for dy in range(-window, window + 1):
+            ty0, ty1 = y + dy, y + h + dy
+            if ty0 < 0 or ty1 > fh:
+                continue
+            target_cut = target_gray[ty0:ty1, tx0:tx1].astype(np.int32)
+            score = float(np.power(source_cut - target_cut, 2).mean())
+            if best is None or score < best[0]:
+                best = (score, dx, dy)
+    if best is None or best[0] > max_mse:
+        return 0, 0, (best[0] if best else float("inf"))
+    return best[1], best[2], best[0]
+
+
 class GTEditorSession:
     """Load-edit-save loop over one lecture's GT annotation tree
     (<annotations>/<DB>_<lecture>/)."""
@@ -264,8 +302,18 @@ class GTEditorSession:
     # -------------------------------------------------------------- edits
 
     def _push_undo(self, kf_idx: int) -> None:
+        """Snapshot the keyframe's binary AND portion list (portion ops
+        edit both, so undo restores both — the reference keeps portion
+        snapshots on its undo stack too, gt_keyframe_annotator.py:671)."""
+        import dataclasses
+
+        kf = self._kf(kf_idx)
         stack = self._undo[kf_idx]
-        stack.append(self._binaries[kf_idx].copy())
+        stack.append((self._binaries[kf_idx].copy(),
+                      [dataclasses.replace(
+                          p, binary=None if p.binary is None
+                          else p.binary.copy())
+                       for p in kf.portions]))
         del stack[:-20]  # bound memory
 
     def stroke(self, kf_idx: int, points: Sequence[Tuple[int, int]],
@@ -302,11 +350,154 @@ class GTEditorSession:
                        erase=True)
         del kf.portions[portion_index]
 
+    # ------------------------------------------------ portion-tier editing
+    # (GTKeyFrameAnnotator role — reference gt_keyframe_annotator.py:27;
+    # the composed binary stays the editing source of truth, so each op
+    # updates both the portion record and the affected binary pixels.)
+
+    def _gray(self, kf_idx: int) -> np.ndarray:
+        """Grayscale of the raw keyframe, matching the reference's
+        update_grayscale (keyframe_annotation.py:46, RGB input)."""
+        import cv2
+
+        return cv2.cvtColor(self.raw(kf_idx), cv2.COLOR_RGB2GRAY)
+
+    def _clamp_rect(self, kf_idx: int, x: int, y: int, w: int, h: int):
+        fh, fw = self._binaries[kf_idx].shape
+        x = max(0, min(int(x), fw - 1))
+        y = max(0, min(int(y), fh - 1))
+        w = max(1, min(int(w), fw - x))
+        h = max(1, min(int(h), fh - y))
+        return x, y, w, h
+
+    def _other_ink(self, kf, skip_index: int,
+                   x: int, y: int, w: int, h: int) -> np.ndarray:
+        """Ink claimed inside [x, y, w, h] by portions OTHER than
+        skip_index (so removing one portion keeps overlapping content,
+        like the reference's vote-based recomposition)."""
+        mask = np.zeros((h, w), dtype=bool)
+        for k, p in enumerate(kf.portions):
+            if k == skip_index or p.binary is None:
+                continue
+            ix0, iy0 = max(x, p.x), max(y, p.y)
+            ix1 = min(x + w, p.x + p.w)
+            iy1 = min(y + h, p.y + p.h)
+            if ix0 >= ix1 or iy0 >= iy1:
+                continue
+            cut = p.binary[iy0 - p.y:iy1 - p.y, ix0 - p.x:ix1 - p.x]
+            mask[iy0 - y:iy1 - y, ix0 - x:ix1 - x] |= cut == 0
+        return mask
+
+    def _blit_portion(self, kf_idx: int, portion) -> None:
+        region = self._binaries[kf_idx][portion.y:portion.y + portion.h,
+                                        portion.x:portion.x + portion.w]
+        region[portion.binary == 0] = 0
+
+    def _erase_portion(self, kf_idx: int, kf, portion_index: int) -> None:
+        p = kf.portions[portion_index]
+        region = self._binaries[kf_idx][p.y:p.y + p.h, p.x:p.x + p.w]
+        keep = self._other_ink(kf, portion_index, p.x, p.y, p.w, p.h)
+        region[(p.binary == 0) & ~keep] = 255
+
+    def portion_cut_binary(self, kf_idx: int, x: int, y: int, w: int,
+                           h: int, dark: bool = False,
+                           source="threshold") -> np.ndarray:
+        """Binarize a rectangle for a new portion (ink=0/bg=255).
+        ``source``: 'threshold' (the keyframe's ThresholdTool surface —
+        the GTBinaryAnnotator hand-off of the reference add-portion flow),
+        'otsu' (local Otsu on the cut; ink = dark side, or bright side
+        when ``dark``), 'current' (the keyframe's existing binary cut),
+        or a classical-method id int."""
+        import cv2
+
+        if source == "threshold":
+            return self.threshold_preview(kf_idx)[y:y + h, x:x + w].copy()
+        if source == "current":
+            return self._binaries[kf_idx][y:y + h, x:x + w].copy()
+        if source == "otsu":
+            cut = self._gray(kf_idx)[y:y + h, x:x + w]
+            thr, _ = cv2.threshold(cut, 0, 255,
+                                   cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+            ink = cut > thr if dark else cut <= thr
+            return np.where(ink, 0, 255).astype(np.uint8)
+        return self.classical_preview(kf_idx, int(source))[y:y + h,
+                                                           x:x + w].copy()
+
+    def add_portion(self, kf_idx: int, x: int, y: int, w: int, h: int,
+                    dark: bool = False, source="threshold") -> int:
+        """Add a content portion: binarize the selected rectangle and
+        composite its ink (reference: btn_portions_add_click:647 +
+        binarization_edition_finished:1064 -> KeyFrameAnnotation
+        .add_portion). Returns the new portion index."""
+        from ..eval.annotation import KeyframePortion
+
+        x, y, w, h = self._clamp_rect(kf_idx, x, y, w, h)
+        cut = self.portion_cut_binary(kf_idx, x, y, w, h, dark, source)
+        kf = self._kf(kf_idx)
+        self._push_undo(kf_idx)
+        portion = KeyframePortion(x, y, w, h, cut, bool(dark))
+        kf.portions.append(portion)
+        self._blit_portion(kf_idx, portion)
+        return len(kf.portions) - 1
+
+    def move_portion(self, kf_idx: int, portion_index: int,
+                     dx: int, dy: int) -> None:
+        """Translate a portion (reference: EditionModeMovePortion,
+        gt_keyframe_annotator.py:1245,1407-1445); its ink moves with it,
+        ink shared with other portions stays."""
+        kf = self._kf(kf_idx)
+        p = kf.portions[portion_index]
+        fh, fw = self._binaries[kf_idx].shape
+        nx = max(0, min(p.x + int(dx), fw - p.w))
+        ny = max(0, min(p.y + int(dy), fh - p.h))
+        if (nx, ny) == (p.x, p.y):
+            return
+        self._push_undo(kf_idx)
+        self._erase_portion(kf_idx, kf, portion_index)
+        p.x, p.y = nx, ny
+        self._blit_portion(kf_idx, p)
+
+    def invert_portion(self, kf_idx: int, portion_index: int) -> None:
+        """Invert a portion's binary in place (reference:
+        btn_portions_invert_click:687 -> KeyFramePortion.invert_region)."""
+        kf = self._kf(kf_idx)
+        self._push_undo(kf_idx)
+        self._erase_portion(kf_idx, kf, portion_index)
+        kf.portions[portion_index].invert()
+        self._blit_portion(kf_idx, kf.portions[portion_index])
+
+    def copy_portion(self, kf_idx: int, portion_index: int,
+                     direction: int) -> dict:
+        """Copy a portion to the previous (-1) / next (+1) keyframe with
+        the reference's MSE-gated offset search (copy_frame_portion:
+        1160-1208): best +-10 px grayscale alignment on the target frame,
+        kept only under the 900.0 MSE gate."""
+        import dataclasses
+
+        order = [kf.idx for kf in self.keyframes]
+        pos = order.index(kf_idx) + int(direction)
+        if not 0 <= pos < len(order):
+            raise IndexError("no keyframe in that direction")
+        target_idx = order[pos]
+        kf = self._kf(kf_idx)
+        p = kf.portions[portion_index]
+        dx, dy, score = best_copy_offset(
+            self._gray(kf_idx), self._gray(target_idx), p.x, p.y, p.w, p.h)
+        target = self._kf(target_idx)
+        self._push_undo(target_idx)
+        copied = dataclasses.replace(p, x=p.x + dx, y=p.y + dy,
+                                     binary=p.binary.copy())
+        target.portions.append(copied)
+        self._blit_portion(target_idx, copied)
+        return {"target": target_idx,
+                "index": len(target.portions) - 1,
+                "offset": [dx, dy], "mse": score}
+
     def undo(self, kf_idx: int) -> bool:
         stack = self._undo[kf_idx]
         if not stack:
             return False
-        self._binaries[kf_idx] = stack.pop()
+        self._binaries[kf_idx], self._kf(kf_idx).portions = stack.pop()
         return True
 
     # ------------------------------------------- threshold binarization
@@ -373,6 +564,18 @@ class GTEditorSession:
 
     # --------------------------------------------------------------- save
 
+    @staticmethod
+    def _portions_consistent(kf, mono: np.ndarray) -> bool:
+        """True when the keyframe's portion list composes exactly to the
+        edited binary (the reference's update_binary_image vote rule)."""
+        if not kf.portions or any(p.binary is None for p in kf.portions):
+            return False
+        votes = np.zeros(mono.shape, dtype=np.int32)
+        for p in kf.portions:
+            votes[p.y:p.y + p.h, p.x:p.x + p.w] += 255 - p.binary
+        composed = np.where(votes > 0, 0, 255).astype(np.uint8)
+        return bool((composed == mono).all())
+
     def save(self, rebuild_unique_ccs: bool = True) -> str:
         """Write the edited tree back: binary/<idx>.png, portions.xml +
         portions/ (rebuilt from the edited binaries), and unique_ccs.xml
@@ -386,7 +589,11 @@ class GTEditorSession:
             mono = self._binaries[kf.idx]
             kf.binary_image = np.stack([mono] * 3, axis=-1)
             kf.update_binary_cc(False)
-            kf.portions = portions_from_binary(mono)
+            # keep annotator-authored portions (add/move/copy ops) when
+            # they still compose to the edited binary; pixel strokes make
+            # them stale, in which case the tree is rebuilt from pixels
+            if not self._portions_consistent(kf, mono):
+                kf.portions = portions_from_binary(mono)
         KeyframeAnnotation.save_portions(self.keyframes, self.prefix)
 
         if rebuild_unique_ccs:
@@ -437,6 +644,23 @@ button.on { background: #cde; }
   <button id="clsprev">preview</button>
   <button id="clsapply">apply</button>
 </div>
+<div>
+  portions <select id="plist"></select>
+  <button id="prect">add rect</button>
+  src <select id="psrc">
+    <option value="threshold">threshold</option>
+    <option value="otsu">otsu</option>
+    <option value="current">current</option>
+  </select>
+  <label><input id="pdark" type="checkbox">dark</label>
+  <button id="preject">reject</button>
+  <button id="pinvert">invert</button>
+  dx <input id="pdx" type="number" value="0" style="width:3.5em">
+  dy <input id="pdy" type="number" value="0" style="width:3.5em">
+  <button id="pmove">move</button>
+  <button id="pcprev">copy&lt;</button>
+  <button id="pcnext">copy&gt;</button>
+</div>
 <div id="wrap"><img id="raw"><img id="bin"></div>
 <script>
 let kf = null, erase = false, drawing = false, points = [];
@@ -465,19 +689,53 @@ api('/api/state').then(s => {
     o.value = idx; o.textContent = 'keyframe ' + idx;
     sel.appendChild(o);
   }
-  kf = s.keyframes[0]; refresh();
+  kf = s.keyframes[0]; refresh(); loadPortions();
   sel.onchange = () => { kf = parseInt(sel.value);
-    lastPoint = -1; previewing = null; refresh(); };
+    lastPoint = -1; previewing = null; refresh(); loadPortions(); };
 });
 function setMode(m, target) {
   mode = m; erase = (m === 'erase');
-  for (const id of ['paint', 'erase', 'thrpt'])
+  for (const id of ['paint', 'erase', 'thrpt', 'prect'])
     document.getElementById(id).classList.remove('on');
   target.classList.add('on');
 }
 document.getElementById('paint').onclick = (e) => setMode('paint', e.target);
 document.getElementById('erase').onclick = (e) => setMode('erase', e.target);
 document.getElementById('thrpt').onclick = (e) => setMode('thr', e.target);
+document.getElementById('prect').onclick = (e) => setMode('prect', e.target);
+async function loadPortions() {
+  const ps = await api('/api/portions/' + kf);
+  const sel = document.getElementById('plist');
+  sel.innerHTML = '';
+  for (const p of ps) {
+    const o = document.createElement('option');
+    o.value = p.index;
+    o.textContent = p.index + ': ' + p.x + ',' + p.y + ' ' + p.w + 'x' + p.h;
+    sel.appendChild(o);
+  }
+}
+function selPortion() {
+  const v = document.getElementById('plist').value;
+  return v === '' ? null : parseInt(v);
+}
+async function portionOp(path, extra) {
+  const idx = selPortion();
+  if (idx === null) return;
+  await api(path, Object.assign({kf: kf, index: idx}, extra || {}));
+  await loadPortions(); refresh();
+}
+document.getElementById('preject').onclick = () =>
+  portionOp('/api/reject_portion');
+document.getElementById('pinvert').onclick = () =>
+  portionOp('/api/invert_portion');
+document.getElementById('pmove').onclick = () =>
+  portionOp('/api/move_portion', {
+    dx: parseInt(document.getElementById('pdx').value),
+    dy: parseInt(document.getElementById('pdy').value)});
+document.getElementById('pcprev').onclick = () =>
+  portionOp('/api/copy_portion', {direction: -1});
+document.getElementById('pcnext').onclick = () =>
+  portionOp('/api/copy_portion', {direction: 1});
 document.getElementById('grid').onclick = async () => {
   await api('/api/thr_grid', {kf: kf,
     rows: parseInt(document.getElementById('rows').value),
@@ -501,7 +759,7 @@ document.getElementById('clsapply').onclick = async () => {
     method: parseInt(document.getElementById('method').value)});
   previewing = null; refresh(); };
 document.getElementById('undo').onclick = async () => {
-  await api('/api/undo', {kf: kf}); refresh(); };
+  await api('/api/undo', {kf: kf}); await loadPortions(); refresh(); };
 document.getElementById('save').onclick = async () => {
   document.getElementById('status').textContent = ' saving...';
   await api('/api/save', {});
@@ -526,6 +784,18 @@ binImg.onmousemove = (e) => { if (drawing) points.push(pos(e)); };
 window.onmouseup = async () => {
   if (!drawing) return;
   drawing = false;
+  if (mode === 'prect') {
+    const [x0, y0] = points[0];
+    const [x1, y1] = points[points.length - 1];
+    const x = Math.min(x0, x1), y = Math.min(y0, y1);
+    const w = Math.abs(x1 - x0), h = Math.abs(y1 - y0);
+    if (w > 2 && h > 2)
+      await api('/api/add_portion', {kf: kf, x: x, y: y, w: w, h: h,
+        source: document.getElementById('psrc').value,
+        dark: document.getElementById('pdark').checked});
+    await loadPortions(); refresh();
+    return;
+  }
   await api('/api/stroke', {kf: kf, points: points, erase: erase,
     radius: parseInt(document.getElementById('radius').value)});
   refresh();
@@ -626,6 +896,24 @@ def make_handler(session: GTEditorSession):
             elif self.path.startswith("/api/reject_portion"):
                 self._guard(lambda: session.reject_portion(
                     int(body["kf"]), int(body["index"])))
+            elif self.path.startswith("/api/add_portion"):
+                self._guard(lambda: {
+                    "ok": True, "index": session.add_portion(
+                        int(body["kf"]), int(body["x"]), int(body["y"]),
+                        int(body["w"]), int(body["h"]),
+                        dark=bool(body.get("dark", False)),
+                        source=body.get("source", "threshold"))})
+            elif self.path.startswith("/api/move_portion"):
+                self._guard(lambda: session.move_portion(
+                    int(body["kf"]), int(body["index"]),
+                    int(body.get("dx", 0)), int(body.get("dy", 0))))
+            elif self.path.startswith("/api/invert_portion"):
+                self._guard(lambda: session.invert_portion(
+                    int(body["kf"]), int(body["index"])))
+            elif self.path.startswith("/api/copy_portion"):
+                self._guard(lambda: {"ok": True, **session.copy_portion(
+                    int(body["kf"]), int(body["index"]),
+                    int(body.get("direction", 1)))})
             elif self.path.startswith("/api/undo"):
                 self._json({"ok": session.undo(int(body["kf"]))})
             elif self.path.startswith("/api/thr_grid"):

@@ -376,3 +376,209 @@ def test_http_threshold_surface(workspace):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+# ------------------------------------------------- portion-tier editing
+# (GTKeyFrameAnnotator role: reference gt_keyframe_annotator.py:27 —
+# add/move/invert/copy portion ops and the MSE-gated copy offset search)
+
+def _pattern_tree(tmp_path, shift=(3, -2), second_has_pattern=True):
+    """Two-keyframe tree whose single glyph moves by ``shift`` between
+    keyframes — one portion per keyframe after export."""
+    h, w = 48, 72
+    glyph = np.full((8, 8), 255, np.uint8)
+    for i in range(8):
+        glyph[i, i] = 0
+        glyph[i, 0] = 0
+        glyph[0, i] = 0
+    x0, y0 = 30, 20
+    b0 = np.full((h, w), 255, np.uint8)
+    b0[y0:y0 + 8, x0:x0 + 8] = glyph
+    b1 = np.full((h, w), 255, np.uint8)
+    if second_has_pattern:
+        b1[y0 + shift[1]:y0 + shift[1] + 8,
+           x0 + shift[0]:x0 + shift[0] + 8] = glyph
+    return export_gt_tree(str(tmp_path / "annotations"), "PDB", "p01",
+                          [100, 200], [5000.0, 10000.0], [b0, b1],
+                          write_portions=True)
+
+
+def test_best_copy_offset_search():
+    """The offset scan finds an exact +-10 px shift and falls back to
+    (0, 0) past the 900.0 MSE gate (reference copy_frame_portion
+    semantics)."""
+    from lecturemath_tpu.utils.gt_editor import best_copy_offset
+
+    rng = np.random.default_rng(3)
+    source = rng.integers(0, 256, (40, 60)).astype(np.uint8)
+    target = np.roll(np.roll(source, -2, axis=0), 3, axis=1)
+    dx, dy, score = best_copy_offset(source, target, 20, 15, 12, 10)
+    assert (dx, dy) == (3, -2) and score == 0.0
+
+    flat = np.full_like(source, 255)
+    dx, dy, score = best_copy_offset(source, flat, 20, 15, 12, 10)
+    assert (dx, dy) == (0, 0) and score > 900.0
+
+
+def test_add_portion_reject_then_rebinarize(workspace):
+    """The annotator loop: reject a portion, re-add it by binarizing the
+    rectangle from the raw image (Otsu), recovering the original ink."""
+    session = GTEditorSession(workspace["prefix"])
+    kf0 = workspace["indices"][0]
+    original = session.binary(kf0).copy()
+    portions = session.portions(kf0)
+    p = portions[0]
+    n_before = len(portions)
+
+    session.reject_portion(kf0, 0)
+    region = session.binary(kf0)[p["y"]:p["y"] + p["h"],
+                                 p["x"]:p["x"] + p["w"]]
+    assert (region == 255).all()
+
+    idx = session.add_portion(kf0, p["x"], p["y"], p["w"], p["h"],
+                              source="otsu")
+    assert idx == n_before - 1
+    np.testing.assert_array_equal(
+        session.binary(kf0)[p["y"]:p["y"] + p["h"],
+                            p["x"]:p["x"] + p["w"]],
+        original[p["y"]:p["y"] + p["h"], p["x"]:p["x"] + p["w"]])
+
+    # two undos roll back the add and the reject, restoring the portion
+    assert session.undo(kf0) and session.undo(kf0)
+    np.testing.assert_array_equal(session.binary(kf0), original)
+    assert len(session.portions(kf0)) == n_before
+
+
+def test_move_and_invert_portion(tmp_path):
+    prefix = _pattern_tree(tmp_path)
+    session = GTEditorSession(prefix)
+    p = session.portions(100)[0]
+    before = session.binary(100).copy()
+    crop = before[p["y"]:p["y"] + p["h"], p["x"]:p["x"] + p["w"]].copy()
+
+    session.move_portion(100, 0, 15, 10)   # far enough that rects disjoin
+    moved = session.portions(100)[0]
+    assert (moved["x"], moved["y"]) == (p["x"] + 15, p["y"] + 10)
+    bin_now = session.binary(100)
+    assert (bin_now[p["y"]:p["y"] + p["h"],
+                    p["x"]:p["x"] + p["w"]] == 255).all()
+    np.testing.assert_array_equal(
+        bin_now[moved["y"]:moved["y"] + p["h"],
+                moved["x"]:moved["x"] + p["w"]], crop)
+    assert session.undo(100)
+    np.testing.assert_array_equal(session.binary(100), before)
+    assert session.portions(100)[0]["x"] == p["x"]
+
+    session.invert_portion(100, 0)
+    np.testing.assert_array_equal(
+        session.binary(100)[p["y"]:p["y"] + p["h"],
+                            p["x"]:p["x"] + p["w"]], 255 - crop)
+    session.invert_portion(100, 0)
+    np.testing.assert_array_equal(session.binary(100), before)
+
+
+def test_copy_portion_aligns_and_gates(tmp_path):
+    """Copy to the next keyframe lands on the shifted glyph exactly (so
+    the target binary is unchanged); without a matching glyph the offset
+    gates to (0, 0) and the source ink appears at its original spot."""
+    prefix = _pattern_tree(tmp_path, shift=(3, -2))
+    session = GTEditorSession(prefix)
+    p = session.portions(100)[0]
+    target_before = session.binary(200).copy()
+
+    result = session.copy_portion(100, 0, +1)
+    assert result["target"] == 200
+    assert result["offset"] == [3, -2] and result["mse"] == 0.0
+    copied = session.portions(200)[result["index"]]
+    assert (copied["x"], copied["y"]) == (p["x"] + 3, p["y"] - 2)
+    np.testing.assert_array_equal(session.binary(200), target_before)
+    assert session.undo(200)
+    assert len(session.portions(200)) == 1
+
+    prefix2 = _pattern_tree(tmp_path / "b", second_has_pattern=False)
+    session2 = GTEditorSession(prefix2)
+    result = session2.copy_portion(100, 0, +1)
+    assert result["offset"] == [0, 0] and result["mse"] > 900.0
+    region = session2.binary(200)[p["y"]:p["y"] + p["h"],
+                                  p["x"]:p["x"] + p["w"]]
+    assert (region == 0).any()
+
+    with pytest.raises(IndexError):
+        session2.copy_portion(200, 0, +1)
+
+
+def test_save_preserves_authored_portions(tmp_path):
+    """Portion-op-authored structure survives save (the list still
+    composes to the binary, so it is NOT rebuilt from pixels) — the
+    copied rect and Dark flag round-trip through portions.xml."""
+    prefix = _pattern_tree(tmp_path, shift=(3, -2))
+    session = GTEditorSession(prefix)
+    session.copy_portion(100, 0, +1)
+    session.portions(200)
+    session._kf(200).portions[-1].dark = True
+    session.save(rebuild_unique_ccs=False)
+
+    root = ET.parse(os.path.join(prefix, "portions.xml")).getroot()
+    frames = root.findall("./KeyFrames/KeyFrame")
+    by_idx = {int(f.find("Index").text): f for f in frames}
+    entries = by_idx[200].findall("./Portions/KeyFramePortion")
+    assert len(entries) == 2
+    assert [e.find("Dark").text for e in entries] == ["0", "1"]
+
+    # a pixel stroke invalidates the authored list: save rebuilds (the
+    # far-corner stroke is past the bbox-merge distance, so the rebuilt
+    # tree has two portions where the authored list had one)
+    session.stroke(100, [(63, 5), (68, 10)], radius=1, erase=False)
+    session.save(rebuild_unique_ccs=False)
+    root = ET.parse(os.path.join(prefix, "portions.xml")).getroot()
+    by_idx = {int(f.find("Index").text): f
+              for f in root.findall("./KeyFrames/KeyFrame")}
+    assert len(by_idx[100].findall("./Portions/KeyFramePortion")) == 2
+
+
+def test_http_portion_surface(workspace):
+    """Portion ops over the HTTP surface: list, add, move, copy, reject."""
+    session = GTEditorSession(workspace["prefix"])
+    server = serve(session, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body):
+        req = urllib.request.Request(base + path,
+                                     json.dumps(body).encode())
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return json.loads(r.read())
+
+    kf0 = workspace["indices"][0]
+    try:
+        with urllib.request.urlopen(f"{base}/api/portions/{kf0}",
+                                    timeout=10) as r:
+            portions = json.loads(r.read())
+        n = len(portions)
+        assert n > 0
+
+        x, y = _find_empty_window(session.binary(kf0))
+        added = post("/api/add_portion",
+                     {"kf": kf0, "x": x, "y": y, "w": 20, "h": 20,
+                      "source": "current"})
+        assert added["ok"] and added["index"] == n
+
+        assert post("/api/move_portion", {"kf": kf0, "index": n,
+                                          "dx": 2, "dy": 1})["ok"]
+        assert session.portions(kf0)[n]["x"] == x + 2
+
+        copied = post("/api/copy_portion", {"kf": kf0, "index": 0,
+                                            "direction": 1})
+        assert copied["ok"] and copied["target"] == workspace["indices"][1]
+
+        assert post("/api/invert_portion", {"kf": kf0, "index": n})["ok"]
+        assert post("/api/reject_portion", {"kf": kf0, "index": n})["ok"]
+        assert len(session.portions(kf0)) == n
+        # bad index: JSON error, handler stays alive
+        assert not post("/api/move_portion", {"kf": kf0, "index": 99,
+                                              "dx": 1, "dy": 0})["ok"]
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
