@@ -30,7 +30,7 @@ def main(argv=None):
     accumulator = LectureVideosMetrics()
     for lecture in driver.iter_lectures():
         accumulator.process_lecture(
-            lecture, driver.config.get_str("VIDEO_FILES_PATH"))
+            lecture, driver.config.get_str("VIDEO_FILES_PATH", ""))
 
     if json_path is not None:
         with open(json_path, "w") as out:

@@ -336,8 +336,14 @@ class TextDetectionEvaluator:
                 pts = np.asarray(polygon)
                 x1, y1 = pts.min(axis=0)
                 x2, y2 = pts.max(axis=0)
-                gt_frame[max(0, int(y1)):int(y2), max(0, int(x1)):int(x2)] = \
-                    True
+                # clamp BOTH ends (reference text_annotation_exporter.py:
+                # 192-195) and skip boxes fully off-frame — a negative end
+                # would wrap the slice and mark most of the frame as GT
+                x1, y1 = max(0, int(x1)), max(0, int(y1))
+                x2 = min(text_exporter.img_width, int(x2))
+                y2 = min(text_exporter.img_height, int(y2))
+                if x2 > x1 and y2 > y1:
+                    gt_frame[y1:y2, x1:x2] = True
 
             all_gt_frames[frame_idx] = {
                 "total_occluded": len(occluded),

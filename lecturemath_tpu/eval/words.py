@@ -77,14 +77,25 @@ class KeyFrameProjection:
         update path, gt_projection_annotator.py:633-704)."""
         import cv2
 
-        self.src_points = np.asarray(src_points, np.float64)
-        self.base_dst_points = np.asarray(base_dst_points, np.float64)
+        src = np.asarray(src_points, np.float64)
+        base_dst = np.asarray(base_dst_points, np.float64)
+        dst = (base_dst + np.array([[delta_x, delta_y]])).astype(np.float64)
+        # validate BEFORE assigning: a (near-)collinear quad yields a None
+        # or singular homography, and a partial assignment would leave the
+        # projection with a corrupt H next to a stale inv_H
+        H, _ = cv2.findHomography(src, dst)
+        if H is None:
+            raise ValueError("degenerate projection quad (no homography)")
+        try:
+            inv_H = np.linalg.inv(H)
+        except np.linalg.LinAlgError:
+            raise ValueError("degenerate projection quad (singular H)")
+        self.src_points = src
+        self.base_dst_points = base_dst
         self.delta_x = delta_x
         self.delta_y = delta_y
-        dst = (self.base_dst_points
-               + np.array([[delta_x, delta_y]])).astype(np.float64)
-        self.H, _ = cv2.findHomography(self.src_points, dst)
-        self.inv_H = np.linalg.inv(self.H)
+        self.H = H
+        self.inv_H = inv_H
 
     def warp_keyframe(self, raw_image: np.ndarray, binary_image: np.ndarray,
                       object_mask: Optional[np.ndarray] = None):

@@ -12,6 +12,7 @@ depend on the grabbed truth. Used as a diagnostic before annotation.
 from __future__ import annotations
 
 import datetime
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List
 
@@ -122,7 +123,9 @@ class LectureVideosMetrics:
     def process_lecture(self, lecture, video_files_path: str,
                         verbose: bool = True) -> VideoMetrics:
         """(reference: lecture_video_metrics.py:10-48 process_lecture)."""
-        main_videos = [f"{video_files_path}/{video['path']}"
+        # os.path.join so an empty/absent VIDEO_FILES_PATH keeps the
+        # lecture's own paths usable instead of producing "None/<path>"
+        main_videos = [os.path.join(video_files_path or "", video["path"])
                        for video in lecture.main_videos]
         if verbose:
             print("OpenCV Property Metrics")

@@ -210,6 +210,30 @@ class ThresholdTool:
         return np.where(ink, 0, 255).astype(np.uint8)
 
 
+def load_tree_keyframes(tree_prefix: str):
+    """Load keyframes + binaries from an exported GT annotation tree —
+    THE loader for the tree layout every editor session shares
+    (segments.xml + keyframes/ + binary/<idx>.png, blank binary when the
+    tree has none yet). Used by GTEditorSession and the word-tier
+    sessions (utils/word_editor.py)."""
+    import cv2
+
+    from ..eval.annotation import KeyframeAnnotation
+
+    xml_path = os.path.join(tree_prefix, "segments.xml")
+    keyframes = KeyframeAnnotation.load_exported_keyframes(
+        xml_path, os.path.join(tree_prefix, "keyframes") + "/", False)
+    if not keyframes:
+        raise ValueError(f"no keyframes in {xml_path}")
+    for kf in keyframes:
+        mono = cv2.imread(os.path.join(tree_prefix, "binary",
+                                       f"{kf.idx}.png"), 0)
+        if mono is None:   # tree without binaries yet: start blank
+            mono = np.full(kf.raw_image.shape[:2], 255, np.uint8)
+        kf.binary_image = np.stack([mono] * 3, axis=-1)
+    return keyframes
+
+
 def best_copy_offset(source_gray: np.ndarray, target_gray: np.ndarray,
                      x: int, y: int, w: int, h: int,
                      window: int = 10,
@@ -245,33 +269,20 @@ class GTEditorSession:
     (<annotations>/<DB>_<lecture>/)."""
 
     def __init__(self, tree_prefix: str):
-        import cv2
-
         from ..eval.annotation import KeyframeAnnotation
 
         self.prefix = tree_prefix
-        xml_path = os.path.join(tree_prefix, "segments.xml")
-        self.keyframes = KeyframeAnnotation.load_exported_keyframes(
-            xml_path, os.path.join(tree_prefix, "keyframes") + "/", False)
-        if not self.keyframes:
-            raise ValueError(f"no keyframes in {xml_path}")
+        self.keyframes = load_tree_keyframes(tree_prefix)
 
         self._binaries: Dict[int, np.ndarray] = {}
         self._undo: Dict[int, List[np.ndarray]] = {}
         self._thr: Dict[int, ThresholdTool] = {}
         for kf in self.keyframes:
-            mono = cv2.imread(
-                os.path.join(tree_prefix, "binary", f"{kf.idx}.png"), 0)
-            if mono is None:  # tree without binaries yet: start blank
-                mono = np.full(kf.raw_image.shape[:2], 255, np.uint8)
-            self._binaries[kf.idx] = mono
+            self._binaries[kf.idx] = kf.binary_image[:, :, 0].copy()
             self._undo[kf.idx] = []
 
         portions_xml = os.path.join(tree_prefix, "portions.xml")
         if os.path.exists(portions_xml):
-            for kf in self.keyframes:
-                kf.binary_image = np.stack([self._binaries[kf.idx]] * 3,
-                                           axis=-1)
             KeyframeAnnotation.load_portions(
                 portions_xml, self.keyframes,
                 os.path.join(tree_prefix, "portions"))
@@ -440,6 +451,14 @@ class GTEditorSession:
         self._blit_portion(kf_idx, portion)
         return len(kf.portions) - 1
 
+    @staticmethod
+    def _require_binary(portion) -> None:
+        """Portion ops need the portion's PNG; a tree with a missing
+        portions/frame_<k>/<i>.png loads binary=None — surface that as a
+        ValueError (JSON error through _guard), not a dead handler."""
+        if portion.binary is None:
+            raise ValueError("portion has no binary image on disk")
+
     def move_portion(self, kf_idx: int, portion_index: int,
                      dx: int, dy: int) -> None:
         """Translate a portion (reference: EditionModeMovePortion,
@@ -447,6 +466,7 @@ class GTEditorSession:
         ink shared with other portions stays."""
         kf = self._kf(kf_idx)
         p = kf.portions[portion_index]
+        self._require_binary(p)
         fh, fw = self._binaries[kf_idx].shape
         nx = max(0, min(p.x + int(dx), fw - p.w))
         ny = max(0, min(p.y + int(dy), fh - p.h))
@@ -461,6 +481,7 @@ class GTEditorSession:
         """Invert a portion's binary in place (reference:
         btn_portions_invert_click:687 -> KeyFramePortion.invert_region)."""
         kf = self._kf(kf_idx)
+        self._require_binary(kf.portions[portion_index])
         self._push_undo(kf_idx)
         self._erase_portion(kf_idx, kf, portion_index)
         kf.portions[portion_index].invert()
@@ -481,6 +502,7 @@ class GTEditorSession:
         target_idx = order[pos]
         kf = self._kf(kf_idx)
         p = kf.portions[portion_index]
+        self._require_binary(p)
         dx, dy, score = best_copy_offset(
             self._gray(kf_idx), self._gray(target_idx), p.x, p.y, p.w, p.h)
         target = self._kf(target_idx)

@@ -47,23 +47,8 @@ from ..eval.words import (FormulaCCs, KeyFrameProjection, KeyFrameWords,
                           unique_words_to_xml, word_id, UniqueWordGroup)
 
 
-def load_tree_keyframes(tree_prefix: str) -> List[KeyframeAnnotation]:
-    """Load keyframes + binaries from an exported GT annotation tree
-    (the same file set utils/gt_editor.py edits)."""
-    import cv2
-
-    xml_path = os.path.join(tree_prefix, "segments.xml")
-    keyframes = KeyframeAnnotation.load_exported_keyframes(
-        xml_path, os.path.join(tree_prefix, "keyframes") + "/", False)
-    if not keyframes:
-        raise ValueError(f"no keyframes in {xml_path}")
-    for kf in keyframes:
-        mono = cv2.imread(os.path.join(tree_prefix, "binary",
-                                       f"{kf.idx}.png"), 0)
-        if mono is None:
-            mono = np.full(kf.raw_image.shape[:2], 255, np.uint8)
-        kf.binary_image = np.stack([mono] * 3, axis=-1)
-    return keyframes
+# shared GT-tree loader (one copy of the tree-layout convention)
+from .gt_editor import load_tree_keyframes  # noqa: E402  (re-export)
 
 
 def base_dst_from_quad(src_points: np.ndarray) -> np.ndarray:
@@ -88,6 +73,19 @@ def _inverted_binary(keyframe: KeyframeAnnotation) -> np.ndarray:
     return 255 - (binary[:, :, 0] if binary.ndim == 3 else binary)
 
 
+def _warped_inverted_binary(keyframe: KeyframeAnnotation,
+                            projection) -> np.ndarray:
+    """Inverted binary in the projected board plane — the space the word
+    tier lives in (reference gt_word_annotator.py:76-134: keyframe
+    raw/binary are REPLACED by their projection-warped versions at load,
+    so segmentation trees, clicks, and word boxes are all in warped
+    space; normal views inverse-warp for display). With the default
+    identity projection this equals the unwarped binary."""
+    _, proj_bin = projection.warp_keyframe(keyframe.raw_image,
+                                           keyframe.binary_image)
+    return 255 - (proj_bin[:, :, 0] if proj_bin.ndim == 3 else proj_bin)
+
+
 def _boxes_iou(a: Sequence[float], b: Sequence[float]) -> float:
     """Bbox IOU on (x, y, w, h) (reference getBoxesIOU,
     gt_unique_word_annotator.py:542-577 — union = enclosing box)."""
@@ -104,10 +102,13 @@ def _boxes_iou(a: Sequence[float], b: Sequence[float]) -> float:
 class WordAnnotatorSession:
     """Projection + word-tree + unique-word editing over one lecture's
     GT tree (GTProjectionAnnotator + GTWordAnnotator +
-    GTUniqueWordAnnotator roles). Word trees live over the UNWARPED
-    inverted binary exactly like the reference tools
-    (gt_word_annotator.py:119,861); the projection maps normal-space
-    clicks into segment space (node_from_click, :786-793)."""
+    GTUniqueWordAnnotator roles). Word trees live over the
+    projection-WARPED inverted binary exactly like the reference tools
+    (gt_word_annotator.py:76-134 replaces raw/binary with the warped
+    versions at load); the projection maps normal-view clicks into that
+    segment space (node_from_click, :786-793) and word boxes are
+    inverse-warped for normal-view rendering. Editing a projection
+    re-anchors that keyframe's tree to the newly warped binary."""
 
     def __init__(self, keyframes: Sequence[KeyframeAnnotation],
                  tree_prefix: str):
@@ -147,7 +148,9 @@ class WordAnnotatorSession:
         out = []
         for kf, projection in zip(self.keyframes, projections):
             out.append(KeyFrameWords(
-                kf, projection, RegionTree.from_binary(_inverted_binary(kf))))
+                kf, projection,
+                RegionTree.from_binary(
+                    _warped_inverted_binary(kf, projection))))
         return out
 
     def _load_groups(self) -> None:
@@ -188,23 +191,33 @@ class WordAnnotatorSession:
 
     # --------------------------------------------------------------- undo
 
-    def _snapshot(self) -> dict:
-        return {
-            "projections": [w.projection.copy() for w in self.kf_words],
-            "trees": [w.tree.to_xml_string() for w in self.kf_words],
-            "groups": unique_words_to_xml(self.kf_words, self.groups),
-        }
+    def _snapshot(self, kf_idx: Optional[int] = None) -> dict:
+        """Undo/redo snapshot. Every edit op touches at most ONE
+        keyframe's projection/tree (plus the global group state), so only
+        that keyframe is captured — per-click cost stays independent of
+        the number of keyframes."""
+        snap = {"kf": kf_idx,
+                "groups": unique_words_to_xml(self.kf_words, self.groups)}
+        if kf_idx is not None:
+            kf_words = self.kf_words[kf_idx]
+            snap["projection"] = kf_words.projection.copy()
+            snap["tree"] = kf_words.tree.to_xml_string()
+        return snap
 
-    def _push_undo(self) -> None:
-        self._undo.append(self._snapshot())
+    def _push_undo(self, kf_idx: Optional[int] = None) -> None:
+        self._undo.append(self._snapshot(kf_idx))
         del self._undo[:-30]
         self._redo.clear()
 
     def _restore(self, snap: dict) -> None:
-        for idx, kf_words in enumerate(self.kf_words):
-            kf_words.projection = snap["projections"][idx].copy()
+        kf_idx = snap["kf"]
+        if kf_idx is not None:
+            kf_words = self.kf_words[kf_idx]
+            kf_words.projection = snap["projection"].copy()
             kf_words.tree = RegionTree.from_xml_string(
-                snap["trees"][idx], _inverted_binary(self.keyframes[idx]))
+                snap["tree"],
+                _warped_inverted_binary(self.keyframes[kf_idx],
+                                        kf_words.projection))
         self.word_group, self.groups = unique_words_from_root(
             ET.fromstring(snap["groups"]), self.kf_words)
         self.pending_matches = []
@@ -213,15 +226,17 @@ class WordAnnotatorSession:
     def undo(self) -> bool:
         if not self._undo:
             return False
-        self._redo.append(self._snapshot())
-        self._restore(self._undo.pop())
+        snap = self._undo.pop()
+        self._redo.append(self._snapshot(snap["kf"]))
+        self._restore(snap)
         return True
 
     def redo(self) -> bool:
         if not self._redo:
             return False
-        self._undo.append(self._snapshot())
-        self._restore(self._redo.pop())
+        snap = self._redo.pop()
+        self._undo.append(self._snapshot(snap["kf"]))
+        self._restore(snap)
         return True
 
     def _reconcile_groups(self) -> None:
@@ -240,19 +255,21 @@ class WordAnnotatorSession:
         (reference ModeProjectionRegionAdjustment accept,
         gt_projection_annotator.py:568-588)."""
         src = np.asarray(src_points, np.float64).reshape(4, 2)
-        self._push_undo()
+        self._push_undo(kf_idx)
         self.kf_words[kf_idx].projection.update_from_points(
             src, base_dst_from_quad(src), delta_x, delta_y)
+        self._rebind_tree(kf_idx)
 
     def set_projection_delta(self, kf_idx: int, delta_x: float,
                              delta_y: float) -> None:
         """Shift the destination rectangle (reference scroll_delta_*,
         gt_projection_annotator.py:678-688)."""
         projection = self.kf_words[kf_idx].projection
-        self._push_undo()
+        self._push_undo(kf_idx)
         projection.update_from_points(projection.src_points,
                                       projection.base_dst_points,
                                       int(delta_x), int(delta_y))
+        self._rebind_tree(kf_idx)
 
     def copy_projection(self, kf_idx: int, direction: int) -> None:
         """Copy the previous/next keyframe's projection here (reference
@@ -260,9 +277,25 @@ class WordAnnotatorSession:
         source = kf_idx + (1 if direction > 0 else -1)
         if not 0 <= source < len(self.kf_words):
             raise ValueError(f"no keyframe at {source}")
-        self._push_undo()
+        self._push_undo(kf_idx)
         self.kf_words[kf_idx].projection = \
             self.kf_words[source].projection.copy()
+        self._rebind_tree(kf_idx)
+
+    def _rebind_tree(self, kf_idx: int) -> None:
+        """Rebuild a keyframe's tree over the binary warped by its
+        CURRENT projection. Editing a projection changes the space every
+        tree coordinate lives in, so the segmentation resets to a fresh
+        single-region tree and unique-word groups are reconciled (words
+        that vanish drop out). This mirrors the reference workflow order
+        — projections are annotated in a separate tool BEFORE word
+        annotation starts (gt_word_annotator.py:90 refuses to run
+        without projections); edit projections first."""
+        kf_words = self.kf_words[kf_idx]
+        kf_words.tree = RegionTree.from_binary(
+            _warped_inverted_binary(self.keyframes[kf_idx],
+                                    kf_words.projection))
+        self._reconcile_groups()
 
     # --------------------------------------------------------- word trees
 
@@ -279,7 +312,7 @@ class WordAnnotatorSession:
         click (reference auto_split_tempo_node,
         gt_word_annotator.py:800-808)."""
         _, node = self._tree_and_leaf(kf_idx, x, y)
-        self._push_undo()
+        self._push_undo(kf_idx)
         node.is_leaf = True
         node.left = node.right = None
         stack = [node]
@@ -297,7 +330,7 @@ class WordAnnotatorSession:
         _, node = self._tree_and_leaf(kf_idx, x, y)
         if not node.is_leaf:
             raise ValueError("split point not inside a leaf region")
-        self._push_undo()
+        self._push_undo(kf_idx)
         if vertical:
             node.force_segment_x(int(round(x)))
         else:
@@ -311,7 +344,7 @@ class WordAnnotatorSession:
         if node is tree.root:
             raise ValueError("cannot merge at the root region")
         parent = node.parent
-        self._push_undo()
+        self._push_undo(kf_idx)
         parent.is_leaf = True
         parent.left = parent.right = None
         self._reconcile_groups()
@@ -324,18 +357,20 @@ class WordAnnotatorSession:
         source = kf_idx + (1 if direction > 0 else -1)
         if not 0 <= source < len(self.kf_words):
             raise ValueError(f"no keyframe at {source}")
-        self._push_undo()
+        self._push_undo(kf_idx)
         self.kf_words[kf_idx].tree = RegionTree.from_xml_string(
             self.kf_words[source].tree.to_xml_string(),
-            _inverted_binary(self.keyframes[kf_idx]))
+            _warped_inverted_binary(self.keyframes[kf_idx],
+                                    self.kf_words[kf_idx].projection))
         self._reconcile_groups()
 
     def reset_tree(self, kf_idx: int) -> None:
         """Fresh single-region tree (reference btn_segmentation_reset,
         gt_word_annotator.py:871-875)."""
-        self._push_undo()
+        self._push_undo(kf_idx)
         self.kf_words[kf_idx].tree = RegionTree.from_binary(
-            _inverted_binary(self.keyframes[kf_idx]))
+            _warped_inverted_binary(self.keyframes[kf_idx],
+                                    self.kf_words[kf_idx].projection))
         self._reconcile_groups()
 
     # ------------------------------------------------------- unique words
@@ -355,10 +390,18 @@ class WordAnnotatorSession:
                 self.kf_words[kf_idx].words_in_region(rx, rx + rw,
                                                       ry, ry + rh)
                 if self.word_group[kf_idx][word_id(w)].start_frame == kf_idx}
+        # only previous-keyframe words whose group does NOT already extend
+        # into this keyframe are valid link targets — accepting one whose
+        # group already has a frame-kf word would put two words on the
+        # same frame and break the contiguous words_refs invariant. (The
+        # reference word annotator lacks this guard; its CC annotator has
+        # it, gt_unique_cc_annotator.py:679-688 — we follow the CC one.)
         prev = {word_id(w): (w[0] + delta_x, w[1] + delta_y, w[2], w[3])
                 for w in self.kf_words[kf_idx - 1].words_in_region(
                     rx - delta_x, rx - delta_x + rw,
-                    ry - delta_y, ry - delta_y + rh)}
+                    ry - delta_y, ry - delta_y + rh)
+                if self.word_group[kf_idx - 1][word_id(w)].last_frame()
+                == kf_idx - 1}
 
         scored = []
         for cid, cword in curr.items():
@@ -819,9 +862,10 @@ class FormulaAnnotatorSession:
         if not members:
             raise ValueError("no valid unique-CC groups selected")
         self._push_undo()
-        self.formulas.append(FormulaCCs(members, latex_tag))
+        formula = FormulaCCs(members, latex_tag)
+        self.formulas.append(formula)
         self.formulas.sort()
-        return self.formulas.index(self.formulas[-1])
+        return next(i for i, f in enumerate(self.formulas) if f is formula)
 
     def del_formula(self, index: int) -> None:
         if not 0 <= index < len(self.formulas):

@@ -376,3 +376,91 @@ def test_http_surface(keyframes, tmp_path):
     finally:
         server.shutdown()
         thread.join(timeout=5)
+
+
+# -------------------------------------------- round-4 review regressions
+
+def test_degenerate_projection_quad_rejected(word_session):
+    """A collinear source quad raises ValueError and leaves the
+    projection (H AND inv_H) untouched — no partial assignment."""
+    session = word_session
+    projection = session.kf_words[0].projection
+    H_before = projection.H.copy()
+    inv_before = projection.inv_H.copy()
+    with pytest.raises(ValueError):
+        session.set_projection_quad(
+            0, [[10.0, 10.0], [50.0, 10.0], [90.0, 10.0], [30.0, 10.0]])
+    np.testing.assert_array_equal(session.kf_words[0].projection.H,
+                                  H_before)
+    np.testing.assert_array_equal(session.kf_words[0].projection.inv_H,
+                                  inv_before)
+
+
+def test_word_tree_lives_in_warped_space(keyframes, tmp_path):
+    """After a non-identity projection edit the tree re-anchors to the
+    WARPED binary (reference gt_word_annotator.py:76-134 keeps the whole
+    word tier in projected space), and normal-view clicks still land on
+    the right region through to_segment_space."""
+    from lecturemath_tpu.data.region_tree import RegionTree
+    from lecturemath_tpu.eval.words import tree_word_bboxes
+
+    session = WordAnnotatorSession(keyframes, str(tmp_path))
+    words_before = session.words(0)
+
+    quad = [[30.0, 20.0], [105.0, 10.0], [110.0, 80.0], [25.0, 88.0]]
+    session.set_projection_quad(0, quad)
+    projection = session.kf_words[0].projection
+
+    _, proj_bin = projection.warp_keyframe(keyframes[0].raw_image,
+                                           keyframes[0].binary_image)
+    warped_ink = 255 - proj_bin[:, :, 0]
+    expected = tree_word_bboxes(RegionTree.from_binary(warped_ink))
+    assert session.words(0) == expected
+    assert session.words(0) != words_before
+
+    # a normal-view click on a glyph maps into the warped tree and
+    # auto-splits it there (no 'outside the tree' error)
+    wx, wy = session.to_segment_space(0, 20.0, 16.0)
+    session.auto_split(0, wx, wy)
+    assert len(session.words(0)) == 3   # the three blobs, in warped space
+
+
+def test_word_match_excludes_extended_groups(word_session):
+    """Previous-keyframe words whose group already reaches this keyframe
+    are not offered as match candidates (appending another frame-1 word
+    would break the contiguous chain invariant)."""
+    session = word_session
+    matches = session.greedy_word_matches(1, REGION_ALL)
+    assert len(matches) == 3
+    assert session.accept_word_matches(0.5) == 3
+
+    # every kf0 word is now in a group spanning frames 0..1: re-matching
+    # the same region must offer nothing, even for still-unmatched kf1
+    # words (the 4th blob has no valid prev candidate left)
+    assert session.greedy_word_matches(1, REGION_ALL) == []
+    for group in session.groups:
+        offsets = [group.start_frame + k
+                   for k in range(len(group.words_refs))]
+        assert offsets == sorted(set(offsets))   # one word per frame
+
+
+def test_add_formula_returns_sorted_index(keyframes, tmp_path):
+    """add_formula returns the index of the NEW formula after the sort
+    by first-visibility, not blindly len-1."""
+    cc_session = UniqueCCAnnotatorSession(keyframes, str(tmp_path))
+    cc_session.greedy_cc_matches(1, 0, REGION_ALL)
+    cc_session.accept_cc_matches()
+    cc_session.save()
+
+    session = FormulaAnnotatorSession(keyframes, str(tmp_path))
+    late = [g.str_id() for g in session.groups if g.start_frame == 1]
+    early = [g.str_id() for g in session.groups if g.start_frame == 0]
+    assert late and early
+
+    first = session.add_formula(late, "late")
+    assert first == 0
+    second = session.add_formula(early[:1], "early")
+    # the new formula becomes first-visible at frame 0 -> sorts to front
+    assert second == 0
+    assert session.state()["formulas"][second]["latex"] == "early"
+    assert session.state()["formulas"][1]["latex"] == "late"
