@@ -302,9 +302,11 @@ def save_word_annotations(path: str, all_words: Sequence[KeyFrameWords],
 def load_word_annotations(path: str, keyframes,
                           projections=None) -> List[KeyFrameWords]:
     """Load either word_annotations.xml schema (auto-detected by child
-    tag). Trees-only files are loaded over the UNWARPED inverted binary
-    with the supplied (or default) projections, exactly like the
-    reference annotator (gt_word_annotator.py:114-124)."""
+    tag). Tree pixel backing is the projection-WARPED inverted binary —
+    the space the reference annotator keeps the whole word tier in
+    (gt_word_annotator.py:76-134 replaces raw/binary with warped versions
+    at load, so the trees it saves at :114-124 are over warped pixels;
+    identity for default projections)."""
     root = ET.parse(path).getroot()
     group = root.find("VideoKeyFramesWords")
     out = []
@@ -313,15 +315,17 @@ def load_word_annotations(path: str, keyframes,
         if node.tag == "KeyFrameWords":
             out.append(KeyFrameWords.from_xml(node, keyframe))
             continue
-        binary = keyframe.binary_image
-        inverted = 255 - (binary[:, :, 0] if binary.ndim == 3 else binary)
-        tree = RegionTree.from_xml_string(
-            ET.tostring(node, encoding="unicode"), inverted)
         if projections is not None and idx < len(projections):
             projection = projections[idx]
         else:
             height, width = keyframe.raw_image.shape[:2]
             projection = KeyFrameProjection.create_default(width, height)
+        _, proj_bin = projection.warp_keyframe(keyframe.raw_image,
+                                               keyframe.binary_image)
+        inverted = 255 - (proj_bin[:, :, 0] if proj_bin.ndim == 3
+                          else proj_bin)
+        tree = RegionTree.from_xml_string(
+            ET.tostring(node, encoding="unicode"), inverted)
         out.append(KeyFrameWords(keyframe, projection, tree))
     return out
 
