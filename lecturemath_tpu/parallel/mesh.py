@@ -15,6 +15,8 @@ GSPMD conv spatial partitioning when requested (see parallel/inference.py).
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -97,19 +99,32 @@ def put_with_sharding(x: Any, sharding: NamedSharding) -> Any:
     return jax.device_put(x, sharding)
 
 
-def local_row_slice(n_rows: int) -> slice:
+def local_row_slice(mesh: Mesh, n_rows: int) -> slice:
     """The contiguous batch-row range this process owns under a
-    'data'-major mesh built from jax.devices(): process devices are
-    contiguous in enumeration order, so process i owns rows
-    [i*n/P, (i+1)*n/P). Lets every host hold the SAME global batch and
-    feed only its share (each sample enters the global batch once)."""
+    'data'-major mesh built from jax.devices() (process devices are
+    contiguous in enumeration order). The slice covers exactly the
+    'data'-axis positions this process's devices address: with the data
+    axis partitioned across P processes that is rows [i*n/P, (i+1)*n/P);
+    with a data axis SMALLER than the process count (e.g. a tp-only
+    -mesh 1xM on a pod) processes share data positions and must feed the
+    SAME rows, so the slice widens accordingly — feeding per-process
+    halves there would assemble a silently inconsistent global array.
+    Lets every host hold the SAME global batch and feed only its share
+    (each sample enters the global batch once)."""
+    data_size = mesh.shape["data"]
+    model_size = math.prod(s for name, s in mesh.shape.items()
+                           if name != "data")
     count = jax.process_count()
     index = jax.process_index()
-    if n_rows % count:
+    if n_rows % data_size:
         raise ValueError(f"batch of {n_rows} rows does not divide across "
-                         f"{count} processes")
-    base = n_rows // count
-    return slice(index * base, (index + 1) * base)
+                         f"the {data_size}-way data axis")
+    per_process = (data_size * model_size) // count
+    first_data = (index * per_process) // model_size
+    last_data = ((index + 1) * per_process - 1) // model_size
+    rows_per_shard = n_rows // data_size
+    return slice(first_data * rows_per_shard,
+                 (last_data + 1) * rows_per_shard)
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
@@ -195,7 +210,11 @@ def warmup_collectives(mesh: Mesh) -> None:
     x = np.zeros((mesh.shape["data"], mesh.shape["model"]), np.float32)
     out = _warm(put_with_sharding(x, NamedSharding(mesh, P("data",
                                                            "model"))))
-    jax.block_until_ready(out)
+    # fetch the (already reduced) scalar rather than block_until_ready:
+    # through the axon tunnel block_until_ready is a measured no-op (see
+    # CLAUDE.md), and the whole point here is to NOT return before the
+    # warm-up collectives' communicator rendezvous has completed
+    jax.device_get(out)
 
 
 def initialize_distributed_from_env() -> bool:

@@ -47,7 +47,9 @@ def claim(queue_dir: str, item_id: str) -> bool:
 
 def release(queue_dir: str, item_id: str, ok: bool = True) -> None:
     """Mark a claimed item finished (or failed — failed items stay
-    claimed so the failure is visible; requeue_stale can recycle them)."""
+    claimed so the failure is visible; requeue_stale can recycle them).
+    The rewrite is atomic (temp file + os.replace): a crash mid-write
+    must not leave a truncated claim that every host then skips."""
     path = _claim_path(queue_dir, item_id)
     try:
         with open(path) as f:
@@ -56,8 +58,10 @@ def release(queue_dir: str, item_id: str, ok: bool = True) -> None:
         record = {"item": item_id}
     record["done"] = bool(ok)
     record["finished_at"] = time.time()
-    with open(path, "w") as f:
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
         json.dump(record, f)
+    os.replace(tmp, path)
 
 
 def queue_state(queue_dir: str) -> dict:
@@ -79,18 +83,30 @@ def queue_state(queue_dir: str) -> dict:
 
 def requeue_stale(queue_dir: str, max_age_s: float,
                   now: Optional[float] = None) -> List[str]:
-    """Delete claims older than ``max_age_s`` that never finished (the
-    claiming host presumably died mid-lecture); returns the re-queued
-    item ids. Run from any host before/while claiming."""
+    """Delete claims older than ``max_age_s`` that never finished
+    (done missing: the claiming host presumably died mid-lecture) or
+    that finished with done=False (failed — release() keeps them visible
+    and this recycles them); returns the re-queued item ids. Run from
+    any host before/while claiming."""
     now = time.time() if now is None else now
     requeued = []
     for item, record in queue_state(queue_dir).items():
-        if record.get("done") is not None:
+        if record.get("done") is True:
             continue
-        if now - record.get("claimed_at", now) > max_age_s:
+        failed = record.get("done") is False
+        if failed or now - record.get("claimed_at", now) > max_age_s:
+            path = _claim_path(queue_dir, item)
             try:
-                os.unlink(_claim_path(queue_dir, item))
+                # re-read right before unlinking: another host may have
+                # requeued AND re-claimed this item since queue_state was
+                # read — a fresh claim (different claimed_at) must not be
+                # deleted, or the item would be processed twice
+                with open(path) as f:
+                    current = json.load(f)
+                if current.get("claimed_at") != record.get("claimed_at"):
+                    continue
+                os.unlink(path)
                 requeued.append(item)
-            except OSError:
+            except (OSError, ValueError):
                 pass   # another host got there first
     return requeued

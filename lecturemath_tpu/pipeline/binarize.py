@@ -221,7 +221,8 @@ class Binarizer:
 
         frames = np.asarray(frames)
         if jax.process_count() > 1:
-            frames = frames[local_row_slice(len(frames))]
+            frames = frames[local_row_slice(self._input_sharding.mesh,
+                                len(frames))]
         return put_with_sharding(frames, self._input_sharding)
 
     def _fetch(self, array) -> np.ndarray:

@@ -120,6 +120,14 @@ class BinarizeService:
             raise RuntimeError("BinarizeService is closed")
         item = _WorkItem(resized)
         self._queue.put(item)
+        # re-check AFTER the put: close() may have set the flag and
+        # drained the queue between our check and our put, in which case
+        # nobody will ever serve this item — fail it here instead of
+        # letting the caller block into the 600 s backstop
+        if self._closed and not self._worker.is_alive() \
+                and not item.event.is_set():
+            item.error = RuntimeError("BinarizeService is closed")
+            item.event.set()
         # generous backstop so a dying worker can never hang callers
         if not item.event.wait(timeout=600.0):
             raise RuntimeError("binarize request timed out (600 s)")
@@ -144,12 +152,22 @@ class BinarizeService:
         self._queue.put(None)
         self._worker.join(timeout=30)
         # error out any straggler enqueued between the flag and the drain
+        self._fail_pending()
+        if self._worker.is_alive():
+            # the drain may have swallowed the worker's re-queued
+            # shutdown sentinel (close during a long batch) — put one
+            # back so the worker exits instead of blocking forever
+            self._queue.put(None)
+
+    def _fail_pending(self) -> None:
+        """Error-out every queued request (shutdown paths); shutdown
+        sentinels (None) are left out of the failure set."""
         while True:
             try:
                 item = self._queue.get_nowait()
             except Empty:
                 return
-            if item is not None:
+            if item is not None and not item.event.is_set():
                 item.error = RuntimeError("BinarizeService closed")
                 item.event.set()
 
@@ -176,6 +194,8 @@ class BinarizeService:
         while True:
             item = self._queue.get()
             if item is None:
+                # closing: anything still queued will never be served
+                self._fail_pending()
                 return
             batch = [item]
             deadline = time.monotonic() + self.batch_window_s

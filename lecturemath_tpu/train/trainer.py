@@ -125,7 +125,8 @@ class Trainer:
         if jax.process_count() > 1:
             from ..parallel.mesh import local_row_slice
 
-            rows = local_row_slice(len(next(iter(batch.values()))))
+            rows = local_row_slice(self.mesh,
+                       len(next(iter(batch.values()))))
             batch = {k: np.asarray(v)[rows] for k, v in batch.items()}
         sharding = NamedSharding(self.mesh, P("data"))
         return {k: put_with_sharding(v, sharding) for k, v in batch.items()}

@@ -112,14 +112,64 @@ class AnnotationEditorSession:
             rgb = frame[:, :, ::-1]
             self._put_cache(index, rgb)
             return rgb
-        from ..pipeline.video import sample_frame_indices
+        rgb = self._video_frame(index)
+        self._put_cache(index, rgb)
+        return rgb
 
-        decoded = sample_frame_indices(self.video_paths, [index],
-                                       self.forced_resolution)
-        if not decoded:
-            raise KeyError(f"frame {index} beyond video end")
-        self._put_cache(index, decoded[0][1])
-        return decoded[0][1]
+    def _file_offsets(self) -> list:
+        """Cumulative header frame counts per video file (absolute index
+        -> (file, local index) mapping for scrubbing)."""
+        if getattr(self, "_offsets", None) is None:
+            import cv2
+
+            offsets, total = [], 0
+            for path in self.video_paths:
+                capture = cv2.VideoCapture(path)
+                count = int(capture.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+                capture.release()
+                offsets.append((total, count))
+                total += count
+            self._offsets = offsets
+        return self._offsets
+
+    def _video_frame(self, index: int) -> np.ndarray:
+        """Decode one absolute frame with a PERSISTENT capture: grab
+        forward when the target is just ahead of the last position,
+        otherwise seek (CAP_PROP_POS_FRAMES) — scrubbing a long lecture
+        stays O(1)-ish per request instead of re-decoding from frame 0
+        each time (the reference's interactive players keep an open
+        capture and set position properties the same way,
+        opencv_video_player.py:play/set_position)."""
+        import cv2
+
+        file_idx, local = 0, index
+        for k, (start, count) in enumerate(self._file_offsets()):
+            if count and index < start + count:
+                file_idx, local = k, index - start
+                break
+        cap = getattr(self, "_cap", None)
+        if cap is None or self._cap_file != file_idx:
+            if cap is not None:
+                cap.release()
+            cap = cv2.VideoCapture(self.video_paths[file_idx])
+            if not cap.isOpened():
+                raise IOError(
+                    f"cannot open video: {self.video_paths[file_idx]}")
+            self._cap, self._cap_file, self._cap_next = cap, file_idx, 0
+        if not 0 <= local - self._cap_next < 120:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, local)
+            self._cap_next = local
+        frame = None
+        while self._cap_next <= local:
+            ok, frame = cap.read()
+            if not ok:
+                raise KeyError(f"frame {index} beyond video end")
+            self._cap_next += 1
+        if self.forced_resolution is not None:
+            fw, fh = self.forced_resolution
+            if (frame.shape[1], frame.shape[0]) != (fw, fh):
+                frame = cv2.resize(frame, (fw, fh))
+        return frame[:, :, ::-1]
 
     def _image_list_files(self) -> list:
         """Position -> filename for an image-list lecture (one decode per

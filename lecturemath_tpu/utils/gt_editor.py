@@ -123,7 +123,11 @@ class ThresholdTool:
                 x0, x1 = max(0, x - w // cols), min(w, x + w // cols + 1)
                 cell = gray[y0:y1, x0:x1]
                 if cell.std() < 5.0:   # flat cell: background, no ink
-                    value = max(0.0, float(cell.min()) - 1.0)
+                    # below the darkest pixel, WITHOUT clamping at 0: a
+                    # flat black cell must get a negative threshold so
+                    # gray <= surface stays false (no ink), not 0.0 which
+                    # would flood the whole cell with ink
+                    value = float(cell.min()) - 1.0
                 else:
                     value, _ = cv2.threshold(
                         cell, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
@@ -905,16 +909,15 @@ def make_handler(session: GTEditorSession):
             length = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(length) or b"{}")
             if self.path.startswith("/api/stroke"):
-                session.stroke(int(body["kf"]), body["points"],
-                               radius=int(body.get("radius", 2)),
-                               erase=bool(body.get("erase", False)))
-                self._json({"ok": True})
+                self._guard(lambda: session.stroke(
+                    int(body["kf"]), body["points"],
+                    radius=int(body.get("radius", 2)),
+                    erase=bool(body.get("erase", False))))
             elif self.path.startswith("/api/rect"):
-                session.fill_rect(int(body["kf"]), int(body["x"]),
-                                  int(body["y"]), int(body["w"]),
-                                  int(body["h"]),
-                                  erase=bool(body.get("erase", True)))
-                self._json({"ok": True})
+                self._guard(lambda: session.fill_rect(
+                    int(body["kf"]), int(body["x"]),
+                    int(body["y"]), int(body["w"]), int(body["h"]),
+                    erase=bool(body.get("erase", True))))
             elif self.path.startswith("/api/reject_portion"):
                 self._guard(lambda: session.reject_portion(
                     int(body["kf"]), int(body["index"])))

@@ -187,3 +187,31 @@ def test_http_annotation_surface(workspace):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_video_scrub_seek_matches_sequential(tmp_path):
+    """The persistent seeking capture returns the same frames as the
+    sequential sampler, including backward scrubs and far jumps."""
+    import cv2
+
+    from lecturemath_tpu.pipeline.video import sample_frame_indices
+
+    video = str(tmp_path / "scrub.avi")
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"),
+                             30.0, (64, 48))
+    for k in range(150):
+        frame = np.full((48, 64, 3), 235, np.uint8)
+        frame[8:40, 2 + (k % 50):12 + (k % 50)] = (k * 7) % 200
+        writer.write(frame)
+    writer.release()
+
+    session = AnnotationEditorSession.open(
+        str(tmp_path / "annotations" / "SDB_scrub.xml"), "SDB", "scrub",
+        [video])
+    probes = [140, 3, 77, 76, 139, 0]
+    expected = {idx: frame for idx, frame in
+                sample_frame_indices([video], probes)}
+    for idx in probes:
+        session._frame_cache.clear()
+        got = session.frame(idx)
+        np.testing.assert_array_equal(got, expected[idx])

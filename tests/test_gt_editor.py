@@ -582,3 +582,14 @@ def test_http_portion_surface(workspace):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_threshold_flat_black_cell_stays_background():
+    """A uniformly black region must binarize to background (the flat-
+    cell fallback threshold goes BELOW the darkest pixel, not to 0)."""
+    from lecturemath_tpu.utils.gt_editor import ThresholdTool
+
+    raw = np.zeros((32, 48, 3), np.uint8)   # all black frame
+    tool = ThresholdTool(raw)
+    tool.init_grid(2, 2)
+    assert (tool.binary() == 255).all()

@@ -174,3 +174,55 @@ def test_mesh_with_yuv_upload():
     _, _, b = plain.process_source(ArraySource(rgb, fps=1.0))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_local_row_slice_covers_addressable_data_positions(monkeypatch):
+    """local_row_slice must widen to the FULL batch when the data axis is
+    replicated across processes (e.g. a tp-only 1xM mesh on 2 hosts) —
+    per-host halves there would assemble an inconsistent global array —
+    and split contiguously when the data axis spans the processes."""
+    import jax
+
+    from lecturemath_tpu.parallel.mesh import (MeshSpec, local_row_slice,
+                                               make_mesh)
+
+    def fake(count, index):
+        monkeypatch.setattr(jax, "process_count", lambda: count)
+        monkeypatch.setattr(jax, "process_index", lambda: index)
+
+    # data axis spans processes: contiguous halves
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    fake(2, 0)
+    assert local_row_slice(mesh, 16) == slice(0, 8)
+    fake(2, 1)
+    assert local_row_slice(mesh, 16) == slice(8, 16)
+
+    # tp-only mesh: data axis replicated -> every host feeds ALL rows
+    mesh = make_mesh(MeshSpec(data=1, model=8))
+    for index in (0, 1):
+        fake(2, index)
+        assert local_row_slice(mesh, 6) == slice(0, 6)
+
+    # mixed dp x tp across 2 hosts: each host owns half the data axis
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    fake(2, 0)
+    assert local_row_slice(mesh, 8) == slice(0, 4)
+    fake(2, 1)
+    assert local_row_slice(mesh, 8) == slice(4, 8)
+
+    # more processes than data shards: processes sharing a data position
+    # feed the SAME rows
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    expected = [slice(0, 2), slice(0, 2), slice(2, 4), slice(2, 4)]
+    for index in range(4):
+        fake(4, index)
+        assert local_row_slice(mesh, 4) == expected[index]
+
+    # rows must divide the data axis, not the process count
+    fake(2, 0)
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    try:
+        local_row_slice(mesh, 12)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -147,3 +147,15 @@ def test_driver_queue_shard_exclusive(driver_workspace):
                      "-shard", "0/2"])
     with pytest.raises(ValueError):
         list(driver.iter_lectures())
+
+
+def test_requeue_failed_release(tmp_path):
+    """release(ok=False) keeps the failure visible but requeue_stale
+    recycles it regardless of age (the documented recycle contract)."""
+    queue = str(tmp_path / "q")
+    assert claim(queue, "boom")
+    release(queue, "boom", ok=False)
+    assert queue_state(queue)["boom"]["done"] is False
+    assert not claim(queue, "boom")           # still claimed (visible)
+    assert requeue_stale(queue, max_age_s=3600) == ["boom"]
+    assert claim(queue, "boom")               # claimable again
