@@ -115,6 +115,16 @@ class KeyFrameProjection:
                                    self.H, size) > 0
         return proj_rgb, proj_bin, mask
 
+    def warp_binary(self, binary_image: np.ndarray) -> np.ndarray:
+        """Warp only the binary into the board plane (white border =
+        background) — the word tier never needs the raw warp at load."""
+        import cv2
+
+        return cv2.warpPerspective(binary_image, self.H,
+                                   (self.width, self.height),
+                                   borderMode=cv2.BORDER_CONSTANT,
+                                   borderValue=(255, 255, 255))
+
     def warp_points(self, points: np.ndarray,
                     inverse: bool = False) -> np.ndarray:
         import cv2
@@ -256,10 +266,7 @@ class KeyFrameWords:
     def from_xml(cls, node: ET.Element, keyframe) -> "KeyFrameWords":
         projection = KeyFrameProjection.from_xml(
             node.find("KeyFrameProjection"))
-        _, proj_bin = projection.warp_keyframe(keyframe.raw_image,
-                                               keyframe.binary_image)
-        inverted = 255 - (proj_bin[:, :, 0] if proj_bin.ndim == 3
-                          else proj_bin)
+        inverted = warped_inverted_binary(keyframe, projection)
         tree = RegionTree.from_xml_string(
             ET.tostring(node.find("SegmentationTree"), encoding="unicode"),
             inverted)
@@ -275,6 +282,17 @@ class KeyFrameWords:
                    KeyFrameProjection.create_default(width, height,
                                                      proj_offset),
                    RegionTree.from_binary(inverted))
+
+
+def warped_inverted_binary(keyframe, projection) -> np.ndarray:
+    """Inverted binary in the projected board plane — the space the word
+    tier lives in (reference gt_word_annotator.py:76-134 replaces the
+    keyframe raw/binary with their projection-warped versions at load, so
+    segmentation trees, clicks, and word boxes are all in warped space).
+    Identity for default projections. Single definition for every word-
+    tier loader/editor."""
+    proj_bin = projection.warp_binary(keyframe.binary_image)
+    return 255 - (proj_bin[:, :, 0] if proj_bin.ndim == 3 else proj_bin)
 
 
 def save_word_annotations(path: str, all_words: Sequence[KeyFrameWords],
@@ -320,10 +338,7 @@ def load_word_annotations(path: str, keyframes,
         else:
             height, width = keyframe.raw_image.shape[:2]
             projection = KeyFrameProjection.create_default(width, height)
-        _, proj_bin = projection.warp_keyframe(keyframe.raw_image,
-                                               keyframe.binary_image)
-        inverted = 255 - (proj_bin[:, :, 0] if proj_bin.ndim == 3
-                          else proj_bin)
+        inverted = warped_inverted_binary(keyframe, projection)
         tree = RegionTree.from_xml_string(
             ET.tostring(node, encoding="unicode"), inverted)
         out.append(KeyFrameWords(keyframe, projection, tree))

@@ -119,7 +119,17 @@ def local_row_slice(mesh: Mesh, n_rows: int) -> slice:
     if n_rows % data_size:
         raise ValueError(f"batch of {n_rows} rows does not divide across "
                          f"the {data_size}-way data axis")
-    per_process = (data_size * model_size) // count
+    # the contiguous-enumeration math below is only valid when the mesh
+    # spans every process's devices; a sub-mesh (e.g. -mesh 1x1 on a
+    # 2-host pod) would leave some processes owning no mesh devices and
+    # silently assign rows to hosts whose devices are not in the mesh
+    n_mesh_devices = data_size * model_size
+    if n_mesh_devices % count or n_mesh_devices != jax.device_count():
+        raise ValueError(
+            f"multi-process run: the {data_size}x{model_size} mesh must "
+            f"span all {jax.device_count()} devices across the {count} "
+            f"processes (sub-meshes cannot be row-partitioned)")
+    per_process = n_mesh_devices // count
     first_data = (index * per_process) // model_size
     last_data = ((index + 1) * per_process - 1) // model_size
     rows_per_shard = n_rows // data_size

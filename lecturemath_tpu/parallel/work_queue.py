@@ -58,7 +58,9 @@ def release(queue_dir: str, item_id: str, ok: bool = True) -> None:
         record = {"item": item_id}
     record["done"] = bool(ok)
     record["finished_at"] = time.time()
-    tmp = f"{path}.{os.getpid()}.tmp"
+    # hostname + pid: pids alone can collide across hosts sharing the
+    # queue directory, and a shared temp name would interleave writes
+    tmp = f"{path}.{socket.gethostname()}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
         json.dump(record, f)
     os.replace(tmp, path)
@@ -97,13 +99,18 @@ def requeue_stale(queue_dir: str, max_age_s: float,
         if failed or now - record.get("claimed_at", now) > max_age_s:
             path = _claim_path(queue_dir, item)
             try:
-                # re-read right before unlinking: another host may have
-                # requeued AND re-claimed this item since queue_state was
-                # read — a fresh claim (different claimed_at) must not be
-                # deleted, or the item would be processed twice
+                # re-read right before unlinking: since queue_state was
+                # read, another host may have requeued AND re-claimed the
+                # item (fresh claimed_at), or the slow-but-alive claimer
+                # may have finished it (done now True). Any change means
+                # the stale verdict is outdated — deleting would either
+                # double-process the lecture or destroy a completion
+                # marker. The remaining read->unlink window is inherent
+                # to a coordinator-free file queue; max_age_s should be
+                # chosen >> a lecture's runtime so it stays theoretical.
                 with open(path) as f:
                     current = json.load(f)
-                if current.get("claimed_at") != record.get("claimed_at"):
+                if current != record:
                     continue
                 os.unlink(path)
                 requeued.append(item)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import copy
 import os
+import threading
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -37,6 +38,11 @@ class AnnotationEditorSession:
         self.video_paths = list(video_paths)
         self.forced_resolution = forced_resolution
         self._frame_cache: Dict[int, np.ndarray] = {}
+        # the persistent seeking capture (_cap/_cap_next/_offsets) is
+        # mutable decode state shared by ThreadingHTTPServer handler
+        # threads — serialize decodes or interleaved read()/seek()s
+        # would return frames for the wrong index
+        self._decode_lock = threading.Lock()
         self._undo: List[dict] = []
         self._redo: List[dict] = []
 
@@ -112,25 +118,59 @@ class AnnotationEditorSession:
             rgb = frame[:, :, ::-1]
             self._put_cache(index, rgb)
             return rgb
-        rgb = self._video_frame(index)
+        with self._decode_lock:
+            cached = self._frame_cache.get(index)   # a parallel handler
+            if cached is not None:                  # may have decoded it
+                return cached                       # while we waited
+            rgb = self._video_frame(index)
         self._put_cache(index, rgb)
         return rgb
 
-    def _file_offsets(self) -> list:
-        """Cumulative header frame counts per video file (absolute index
-        -> (file, local index) mapping for scrubbing)."""
-        if getattr(self, "_offsets", None) is None:
+    def _file_counts(self) -> list:
+        """Per-file frame counts: container header values, with a
+        decode-count fallback for files whose header reports 0/unknown.
+        A header proven WRONG by a failed read is corrected exactly in
+        _video_frame (decode-count + offset rebuild), so over-reporting
+        containers cannot silently shift the file boundary. (A header
+        that UNDER-reports is undetectable without a full decode scan;
+        the reference's interactive players trust the same header
+        properties, opencv_video_player.py.)"""
+        if getattr(self, "_counts", None) is None:
             import cv2
 
-            offsets, total = [], 0
+            counts = []
             for path in self.video_paths:
                 capture = cv2.VideoCapture(path)
                 count = int(capture.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
                 capture.release()
-                offsets.append((total, count))
-                total += count
-            self._offsets = offsets
-        return self._offsets
+                counts.append(count if count > 0
+                              else self._decode_count(path))
+            self._counts = counts
+            self._verified = set()
+        return self._counts
+
+    @staticmethod
+    def _decode_count(path: str) -> int:
+        import cv2
+
+        capture = cv2.VideoCapture(path)
+        count = 0
+        while capture.grab():
+            count += 1
+        capture.release()
+        return count
+
+    def _locate(self, index: int):
+        """Absolute index -> (file, local index); indices past the last
+        known boundary map into the last file (its header may have
+        under-reported — the read itself is the final arbiter)."""
+        start = 0
+        counts = self._file_counts()
+        for k, count in enumerate(counts[:-1]):
+            if index < start + count:
+                return k, index - start
+            start += count
+        return len(counts) - 1, index - start
 
     def _video_frame(self, index: int) -> np.ndarray:
         """Decode one absolute frame with a PERSISTENT capture: grab
@@ -139,32 +179,47 @@ class AnnotationEditorSession:
         stays O(1)-ish per request instead of re-decoding from frame 0
         each time (the reference's interactive players keep an open
         capture and set position properties the same way,
-        opencv_video_player.py:play/set_position)."""
+        opencv_video_player.py:play/set_position). Caller holds
+        _decode_lock."""
         import cv2
 
-        file_idx, local = 0, index
-        for k, (start, count) in enumerate(self._file_offsets()):
-            if count and index < start + count:
-                file_idx, local = k, index - start
+        for _ in range(len(self.video_paths) + 1):
+            file_idx, local = self._locate(index)
+            cap = getattr(self, "_cap", None)
+            if cap is None or self._cap_file != file_idx:
+                if cap is not None:
+                    cap.release()
+                cap = cv2.VideoCapture(self.video_paths[file_idx])
+                if not cap.isOpened():
+                    raise IOError(
+                        f"cannot open video: {self.video_paths[file_idx]}")
+                self._cap, self._cap_file, self._cap_next = cap, file_idx, 0
+            if not 0 <= local - self._cap_next < 120:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, local)
+                self._cap_next = local
+            frame, ok = None, True
+            while self._cap_next <= local:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                self._cap_next += 1
+            if ok and frame is not None:
                 break
-        cap = getattr(self, "_cap", None)
-        if cap is None or self._cap_file != file_idx:
-            if cap is not None:
-                cap.release()
-            cap = cv2.VideoCapture(self.video_paths[file_idx])
-            if not cap.isOpened():
-                raise IOError(
-                    f"cannot open video: {self.video_paths[file_idx]}")
-            self._cap, self._cap_file, self._cap_next = cap, file_idx, 0
-        if not 0 <= local - self._cap_next < 120:
-            cap.set(cv2.CAP_PROP_POS_FRAMES, local)
-            self._cap_next = local
-        frame = None
-        while self._cap_next <= local:
-            ok, frame = cap.read()
-            if not ok:
+            # the read came up short of the header's promise: correct
+            # this file's count by exact decode, rebuild the mapping,
+            # and re-locate — unless the count was already verified,
+            # in which case the index really is beyond the video end
+            if file_idx in self._verified:
                 raise KeyError(f"frame {index} beyond video end")
-            self._cap_next += 1
+            self._verified.add(file_idx)
+            actual = self._decode_count(self.video_paths[file_idx])
+            cap.release()
+            self._cap = None
+            if actual == self._counts[file_idx]:
+                raise KeyError(f"frame {index} beyond video end")
+            self._counts[file_idx] = actual
+        else:
+            raise KeyError(f"frame {index} beyond video end")
         if self.forced_resolution is not None:
             fw, fh = self.forced_resolution
             if (frame.shape[1], frame.shape[0]) != (fw, fh):

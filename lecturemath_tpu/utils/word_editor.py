@@ -75,15 +75,10 @@ def _inverted_binary(keyframe: KeyframeAnnotation) -> np.ndarray:
 
 def _warped_inverted_binary(keyframe: KeyframeAnnotation,
                             projection) -> np.ndarray:
-    """Inverted binary in the projected board plane — the space the word
-    tier lives in (reference gt_word_annotator.py:76-134: keyframe
-    raw/binary are REPLACED by their projection-warped versions at load,
-    so segmentation trees, clicks, and word boxes are all in warped
-    space; normal views inverse-warp for display). With the default
-    identity projection this equals the unwarped binary."""
-    _, proj_bin = projection.warp_keyframe(keyframe.raw_image,
-                                           keyframe.binary_image)
-    return 255 - (proj_bin[:, :, 0] if proj_bin.ndim == 3 else proj_bin)
+    """See eval.words.warped_inverted_binary (single definition)."""
+    from ..eval.words import warped_inverted_binary
+
+    return warped_inverted_binary(keyframe, projection)
 
 
 def _boxes_iou(a: Sequence[float], b: Sequence[float]) -> float:

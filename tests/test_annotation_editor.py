@@ -215,3 +215,65 @@ def test_video_scrub_seek_matches_sequential(tmp_path):
         session._frame_cache.clear()
         got = session.frame(idx)
         np.testing.assert_array_equal(got, expected[idx])
+
+
+def test_multifile_scrub_matches_sequential(tmp_path):
+    """Absolute-index mapping across a two-file lecture matches the
+    sequential sampler, including scrubs across the file boundary."""
+    import cv2
+
+    from lecturemath_tpu.pipeline.video import sample_frame_indices
+
+    videos = []
+    for part, n in ((0, 60), (1, 40)):
+        video = str(tmp_path / f"part{part}.avi")
+        writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"),
+                                 30.0, (64, 48))
+        for k in range(n):
+            frame = np.full((48, 64, 3), 235, np.uint8)
+            frame[8:40, 2 + (k % 40):12 + (k % 40)] = (part * 90 + k) % 200
+            writer.write(frame)
+        writer.release()
+        videos.append(video)
+
+    session = AnnotationEditorSession.open(
+        str(tmp_path / "annotations" / "SDB_multi.xml"), "SDB", "multi",
+        videos)
+    probes = [0, 59, 60, 61, 99, 30, 95, 58]
+    expected = {idx: frame for idx, frame in
+                sample_frame_indices(videos, probes)}
+    for idx in probes:
+        session._frame_cache.clear()
+        np.testing.assert_array_equal(session.frame(idx), expected[idx])
+
+
+def test_overreported_header_count_corrected(tmp_path):
+    """A container whose header over-reports its frame count must not
+    shift the file boundary: the failed read triggers an exact decode
+    count and the index re-maps into the next file."""
+    import cv2
+
+    videos = []
+    for part, n in ((0, 50), (1, 30)):
+        video = str(tmp_path / f"part{part}.avi")
+        writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"),
+                                 30.0, (64, 48))
+        for k in range(n):
+            frame = np.full((48, 64, 3), 10 + part * 100 + k, np.uint8)
+            writer.write(frame)
+        writer.release()
+        videos.append(video)
+
+    session = AnnotationEditorSession.open(
+        str(tmp_path / "annotations" / "SDB_over.xml"), "SDB", "over",
+        videos)
+    session.annotation.total_frames = 80
+    session._file_counts()
+    session._counts[0] = 55        # simulate an over-reporting header
+    # absolute 52 maps into file 0 per the lying header; the read comes
+    # up short, the count is corrected, and it re-maps to file 1 local 2
+    from lecturemath_tpu.pipeline.video import sample_frame_indices
+
+    [(_, expected)] = sample_frame_indices(videos, [52])
+    np.testing.assert_array_equal(session.frame(52), expected)
+    assert session._counts[0] == 50

@@ -226,3 +226,23 @@ def test_local_row_slice_covers_addressable_data_positions(monkeypatch):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_local_row_slice_rejects_submesh(monkeypatch):
+    """A mesh that does not span every process's devices cannot be
+    row-partitioned (some hosts would own no mesh devices while still
+    being assigned rows) — must raise, not return empty/garbage slices."""
+    import jax
+
+    from lecturemath_tpu.parallel.mesh import (MeshSpec, local_row_slice,
+                                               make_mesh)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    for spec in (MeshSpec(data=1, model=1), MeshSpec(data=2, model=2)):
+        mesh = make_mesh(spec)     # sub-mesh of the 8 virtual devices
+        try:
+            local_row_slice(mesh, 4)
+            assert False, "expected ValueError for sub-mesh"
+        except ValueError as e:
+            assert "span all" in str(e)

@@ -159,3 +159,21 @@ def test_requeue_failed_release(tmp_path):
     assert not claim(queue, "boom")           # still claimed (visible)
     assert requeue_stale(queue, max_age_s=3600) == ["boom"]
     assert claim(queue, "boom")               # claimable again
+
+
+def test_requeue_skips_claim_changed_since_scan(tmp_path, monkeypatch):
+    """If a stale-looking claim changes between the queue scan and the
+    unlink (the slow-but-alive claimer finished, or another host
+    requeued + re-claimed), requeue_stale must NOT delete it."""
+    from lecturemath_tpu.parallel import work_queue
+
+    queue = str(tmp_path / "q")
+    assert claim(queue, "slowpoke")
+    stale_view = {k: dict(v) for k, v in queue_state(queue).items()}
+    stale_view["slowpoke"]["claimed_at"] = 0.0   # looks ancient
+    # the real file moves on: the claimer completes the lecture
+    release(queue, "slowpoke", ok=True)
+    monkeypatch.setattr(work_queue, "queue_state",
+                        lambda d: stale_view)
+    assert work_queue.requeue_stale(queue, max_age_s=10.0) == []
+    assert queue_state(queue)["slowpoke"]["done"] is True   # preserved
