@@ -219,3 +219,48 @@ def test_checkpoint_file_roundtrip(converted_pair, tmp_path):
     for path_key, value in flat_a:
         np.testing.assert_array_equal(np.asarray(value),
                                       np.asarray(flat_b[jax.tree_util.keystr(path_key)]))
+
+
+@pytest.mark.parametrize("cfg_kwargs, hw", [
+    # non-monotonic widths: catches any transposed/mis-zipped width wiring
+    (dict(down_filters=(6, 4, 8, 5, 9), mid_filters=7,
+          upsample_filters=(5, 3, 6, 4, 7), up_filters=(4, 6, 3, 7, 5),
+          pixel_features=(4, 3), kernel_size=3, pixel_kernel_size=7),
+     (64, 96)),
+    # minimal widths, small pixel head
+    (dict(down_filters=(2, 2, 2, 2, 2), mid_filters=2,
+          upsample_filters=(2, 2, 2, 2, 2), up_filters=(2, 2, 2, 2, 2),
+          pixel_features=(2, 2), kernel_size=3, pixel_kernel_size=3),
+     (64, 64)),
+    # odd spatial dims: SAME-padding asymmetry + resize-back rounding
+    (dict(down_filters=(3, 7, 5, 9, 6), mid_filters=11,
+          upsample_filters=(4, 6, 3, 8, 5), up_filters=(5, 4, 7, 3, 6),
+          pixel_features=(5, 2), kernel_size=3, pixel_kernel_size=7),
+     (96, 64)),
+])
+def test_forward_parity_config_sweep(cfg_kwargs, hw):
+    """Converter + forward parity across varied (incl. non-monotonic)
+    width configurations — the fixed TINY/production configs cover two
+    points of the config space; this sweep catches wiring mistakes that
+    only show when widths differ per layer."""
+    cfg = FCNConfig(**cfg_kwargs)
+    net = _build_torch_net(cfg, seed=5)
+    variables = torch_state_dict_to_flax(net.state_dict())
+    model = FCNLectureNet(cfg, dtype=jnp.float32)
+
+    h, w = hw
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1.0, 1.0, (2, h, w, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_bin, t_text, t_rec = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    j_bin, j_text, j_rec = model.apply(variables, jnp.asarray(x),
+                                       train=False)
+    np.testing.assert_allclose(np.asarray(j_rec),
+                               t_rec.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_text),
+                               t_text.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(j_bin),
+                               t_bin.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-3)
