@@ -3,8 +3,13 @@
 Frames are embarrassingly parallel through the FCN forward, so the batch
 axis shards over the mesh 'data' axis (params replicated, or channel-sharded
 over 'model' for very large variants); XLA/GSPMD inserts the collectives.
-This replaces nothing in the reference — it was single-GPU batch-1
-(SURVEY.md §2.11) — and is the natural TPU pod scaling path.
+For few huge frames (batch smaller than the chip count — e.g. one 4K
+board scan) the HEIGHT axis additionally shards over the 'model' axis
+(``shard_spatial``): GSPMD spatially partitions every conv and inserts
+the halo exchanges, bit-identical to the unsharded forward (the CNN
+analog of sequence/context parallelism). This replaces nothing in the
+reference — it was single-GPU batch-1 (SURVEY.md §2.11) — and is the
+natural TPU pod scaling path.
 """
 
 from __future__ import annotations
@@ -24,15 +29,28 @@ class ShardedBinarizer:
 
     The per-chip sub-batch must divide evenly: callers pass batches of size
     k * mesh.data. Use together with pipeline.video.FrameBatch padding.
+
+    ``shard_spatial=True`` additionally shards the image HEIGHT axis over
+    the mesh 'model' axis (mutually exclusive with
+    ``shard_params_over_model``, which uses that axis for channels).
+    GSPMD spatially partitions the convs with halo exchanges —
+    bit-identical to the unsharded forward (asserted in
+    test_parallel.test_spatial_sharded_matches_plain); heights are padded
+    to divide evenly across the shards before device placement.
     """
 
     def __init__(self, model: FCNLectureNet, variables, mesh: Mesh,
                  force_binary: bool = True, threshold: int = 128,
-                 shard_params_over_model: bool = False):
+                 shard_params_over_model: bool = False,
+                 shard_spatial: bool = False):
+        if shard_params_over_model and shard_spatial:
+            raise ValueError("shard_params_over_model and shard_spatial "
+                             "both use the mesh 'model' axis — pick one")
         self.model = model
         self.mesh = mesh
         self.force_binary = force_binary
         self.threshold = threshold
+        self.shard_spatial = shard_spatial
 
         if shard_params_over_model:
             specs = params_pspec_tree(variables["params"], mesh)
@@ -48,7 +66,8 @@ class ShardedBinarizer:
             variables["batch_stats"])
         self.variables = {"params": params, "batch_stats": stats}
 
-        self._batch_sharding = NamedSharding(mesh, P("data"))
+        self._batch_sharding = NamedSharding(
+            mesh, P("data", "model") if shard_spatial else P("data"))
 
         @jax.jit
         def binarize(variables, rgb_uint8):
@@ -71,6 +90,18 @@ class ShardedBinarizer:
             pad = data_size - batch % data_size
             frames = np.concatenate([frames,
                                      np.repeat(frames[-1:], pad, axis=0)])
+        height = frames.shape[1]
+        if self.shard_spatial:
+            # the raw height must divide across the 'model' shards at
+            # device placement; edge-pad to lcm(32, model) with the SAME
+            # scheme pad_to_multiple uses inside the jit (which then
+            # becomes a no-op), so the padded input — and therefore the
+            # output — is bit-identical to the batch-only path's
+            unit = int(np.lcm(32, self.mesh.shape["model"]))
+            if height % unit:
+                pad_h = unit - height % unit
+                frames = np.pad(frames, ((0, 0), (0, pad_h), (0, 0),
+                                         (0, 0)), mode="edge")
         device_batch = jax.device_put(frames, self._batch_sharding)
         out = self._binarize(self.variables, device_batch)
-        return np.asarray(jax.device_get(out))[:batch]
+        return np.asarray(jax.device_get(out))[:batch, :height]

@@ -246,3 +246,31 @@ def test_local_row_slice_rejects_submesh(monkeypatch):
             assert False, "expected ValueError for sub-mesh"
         except ValueError as e:
             assert "span all" in str(e)
+
+
+def test_spatial_sharded_matches_plain():
+    """shard_spatial: HEIGHT over the 'model' axis (GSPMD conv halo
+    exchange) must be bit-identical to the batch-only sharding, including
+    a height that does not divide across the shards (padded + cropped),
+    and must reject combination with channel-sharded params."""
+    model = FCNLectureNet(SHARDY, dtype=jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    plain = ShardedBinarizer(model, variables, mesh)
+    spatial = ShardedBinarizer(model, variables, mesh, shard_spatial=True)
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (4, 64, 48, 3), np.uint8)
+    np.testing.assert_array_equal(spatial.binarize_frames(frames),
+                                  plain.binarize_frames(frames))
+
+    # height 40: not divisible by lcm(32, 4) -> edge-padded to 64 (the
+    # same pad the plain path applies inside the jit), cropped back
+    odd = rng.integers(0, 256, (4, 40, 48, 3), np.uint8)
+    np.testing.assert_array_equal(spatial.binarize_frames(odd),
+                                  plain.binarize_frames(odd))
+
+    with pytest.raises(ValueError):
+        ShardedBinarizer(model, variables, mesh,
+                         shard_params_over_model=True, shard_spatial=True)
