@@ -25,10 +25,18 @@ class ArtifactStore:
         return os.path.join(self.temporal_dir, f"{prefix}{lecture_id}.dat")
 
     def save(self, data: Any, prefix: str, lecture_id: str) -> str:
+        """Atomic write (temp + os.replace): a crash mid-save must not
+        leave a truncated .dat that poisons every later stage."""
         os.makedirs(self.temporal_dir, exist_ok=True)
         out_path = self.path(prefix, lecture_id)
-        with open(out_path, "wb") as f:
-            pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
+        tmp_path = f"{out_path}.{os.getpid()}.tmp"
+        try:
+            with open(tmp_path, "wb") as f:
+                pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp_path, out_path)
+        finally:
+            if os.path.exists(tmp_path):
+                os.unlink(tmp_path)
         return out_path
 
     def load(self, prefix: str, lecture_id: str) -> Any:
@@ -41,6 +49,12 @@ class ArtifactStore:
             # need latin1 decoding (reference: misc_helper.py:172-182)
             with open(path, "rb") as f:
                 return pickle.load(f, encoding="latin1")
+        except (pickle.UnpicklingError, EOFError) as err:
+            # a raw UnpicklingError names neither file nor fix — say both
+            raise RuntimeError(
+                f"corrupt stage artifact {path} ({err}); re-run the stage "
+                f"that produces the '{prefix}' prefix for this lecture"
+            ) from err
 
     def exists(self, prefix: str, lecture_id: str) -> bool:
         return os.path.exists(self.path(prefix, lecture_id))

@@ -183,3 +183,26 @@ def test_artifact_store_latin1_legacy_pickle(tmp_path):
     with open(store.path("tempo_legacy_", "lecture_01"), "wb") as f:
         f.write(b"S'\\xe9'\np0\n.")
     assert store.load("tempo_legacy_", "lecture_01") == "\xe9"
+
+
+def test_artifact_store_corrupt_file_names_path_and_fix(tmp_path):
+    """A truncated .dat must raise an error naming the file and the
+    re-run fix, not a bare UnpicklingError."""
+    import pytest
+
+    store = ArtifactStore(str(tmp_path / "temporal"))
+    path = store.save({"ok": True}, "tempo_binary_", "lec1")
+    with open(path, "r+b") as f:   # truncate mid-pickle
+        f.truncate(3)
+    with pytest.raises(RuntimeError, match="tempo_binary_lec1.dat.*re-run"):
+        store.load("tempo_binary_", "lec1")
+
+
+def test_artifact_store_save_leaves_no_temp_droppings(tmp_path):
+    import os
+
+    store = ArtifactStore(str(tmp_path / "temporal"))
+    store.save([1, 2, 3], "tempo_binary_", "lec2")
+    names = os.listdir(str(tmp_path / "temporal"))
+    assert names == ["tempo_binary_lec2.dat"]
+    assert store.load("tempo_binary_", "lec2") == [1, 2, 3]
