@@ -30,11 +30,27 @@ def main(argv=None):
 
     size_text = str(params.get("size", "960x540"))
     width, height = (int(v) for v in size_text.lower().split("x"))
+
+    def binarizer_factory(checkpoint=None):
+        """Fresh Binarizer from the config; POST /reload may point at a
+        different checkpoint file (hot weight swap without restart)."""
+        if checkpoint is None:
+            return Binarizer.from_config(config)
+        import os
+
+        override = Config({key: config.get(key) for key in config})
+        override.set("BINARIZATION_FCN_LECTURENET_DIR",
+                     os.path.dirname(os.path.abspath(checkpoint)))
+        override.set("BINARIZATION_FCN_LECTURENET_FILENAME",
+                     os.path.basename(checkpoint))
+        return Binarizer.from_config(override)
+
     service = BinarizeService(
-        Binarizer.from_config(config),
+        binarizer_factory(),
         model_size=(width, height),
         max_batch=int(params.get("batch", 8)),
-        batch_window_ms=float(params.get("window", 5)))
+        batch_window_ms=float(params.get("window", 5)),
+        binarizer_factory=binarizer_factory)
 
     server = serve(service, port=int(params.get("port", 8799)))
     host, port = server.server_address

@@ -26,6 +26,10 @@ programmatic use via BinarizeService. The HTTP contract:
   POST /binarize     image body (PNG/JPEG) -> binary PNG (ink=0 on 255,
                      the model's raw polarity; ``?invert=1`` flips to
                      ink=255 — the stage-01 artifact polarity)
+  POST /reload       JSON {"checkpoint": optional path} -> hot-swap the
+                     checkpoint WITHOUT dropping traffic: the new model
+                     loads + warms every batch bucket off to the side,
+                     then swaps in atomically between dispatches
   GET  /healthz      liveness + device + model bucket
   GET  /stats        request/batch counters, mean batch size, latency
 """
@@ -58,8 +62,11 @@ class BinarizeService:
     def __init__(self, binarizer: Binarizer,
                  model_size: Tuple[int, int] = (960, 540),
                  max_batch: int = 8, batch_window_ms: float = 5.0,
-                 warmup: bool = True):
+                 warmup: bool = True, binarizer_factory=None):
         self.binarizer = binarizer
+        # optional callable (checkpoint_path_or_None) -> Binarizer, used
+        # by reload_checkpoint to rebuild with fresh weights
+        self._factory = binarizer_factory
         # (width, height) the model sees — same halving rule as stage 01
         self.model_size = resolve_model_size(*model_size)
         self.max_batch = max(1, int(max_batch))
@@ -76,15 +83,28 @@ class BinarizeService:
         self._queue: "Queue[Optional[_WorkItem]]" = Queue()
         self._closed = False
         self._stats_lock = threading.Lock()
+        self._reload_lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "frames": 0,
                        "last_batch": 0, "last_latency_ms": 0.0,
-                       "started": time.time()}
-        # packed device output: 1 bit/pixel off the device, host unpack.
-        # yuv420 uploads (half the bytes up — what stage 01 ships behind a
-        # tunnel) are honored when the bucket satisfies I420's geometry;
-        # otherwise rebuild the packed fn for plain RGB uploads.
-        self._use_packed = binarizer._packed_fn is not None
-        if self._use_packed and binarizer.upload_format == "yuv420":
+                       "reloads": 0, "started": time.time()}
+        # _active = (binarizer, use_packed): ONE attribute so the worker
+        # reads a consistent pair and reload swaps it atomically
+        self._active = (binarizer, self._prepare(binarizer))
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        if warmup:
+            self._warm(self._active)
+
+    def _prepare(self, binarizer: Binarizer) -> bool:
+        """Fix up a binarizer's upload format for this service's bucket;
+        returns whether the bit-packed download path is usable.
+
+        Packed device output: 1 bit/pixel off the device, host unpack.
+        yuv420 uploads (half the bytes up — what stage 01 ships behind a
+        tunnel) are honored when the bucket satisfies I420's geometry;
+        otherwise rebuild the packed fn for plain RGB uploads."""
+        use_packed = binarizer._packed_fn is not None
+        if use_packed and binarizer.upload_format == "yuv420":
             width, height = self.model_size
             if width % 2 or height % 4:
                 from ..models.fcn_lecturenet import make_packed_binarizer
@@ -93,13 +113,14 @@ class BinarizeService:
                 binarizer._packed_fn = make_packed_binarizer(
                     binarizer.model, binarizer.variables,
                     threshold=binarizer.threshold)
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
-        if warmup:   # pay every bucket's compile before the first caller
-            width, height = self.model_size
-            for bucket in self.batch_buckets:
-                frames = np.zeros((bucket, height, width, 3), np.uint8)
-                self._dispatch(frames)
+        return use_packed
+
+    def _warm(self, active) -> None:
+        """Pay every bucket's compile before the first caller sees it."""
+        width, height = self.model_size
+        for bucket in self.batch_buckets:
+            frames = np.zeros((bucket, height, width, 3), np.uint8)
+            self._dispatch(frames, active)
 
     # ------------------------------------------------------------- public
 
@@ -139,6 +160,30 @@ class BinarizeService:
                                 interpolation=cv2.INTER_NEAREST)
         return binary
 
+    def reload_checkpoint(self, checkpoint: Optional[str] = None) -> dict:
+        """Hot-swap the model weights without dropping traffic: build a
+        fresh Binarizer via the configured factory, warm every batch
+        bucket through it (compiles + device placement happen off to the
+        side while the current model keeps serving), then swap it in
+        atomically between dispatches. Serialized: concurrent reloads
+        queue behind each other."""
+        if self._closed:
+            raise RuntimeError("BinarizeService is closed")
+        if self._factory is None:
+            raise RuntimeError(
+                "no binarizer_factory configured — construct "
+                "BinarizeService(..., binarizer_factory=...) to enable "
+                "checkpoint reloads")
+        with self._reload_lock:
+            new_binarizer = self._factory(checkpoint)
+            active = (new_binarizer, self._prepare(new_binarizer))
+            self._warm(active)
+            self._active = active
+            self.binarizer = new_binarizer
+        with self._stats_lock:
+            self._stats["reloads"] += 1
+        return {"ok": True, "checkpoint": checkpoint}
+
     def stats(self) -> dict:
         with self._stats_lock:
             out = dict(self._stats)
@@ -173,21 +218,23 @@ class BinarizeService:
 
     # ------------------------------------------------------------- worker
 
-    def _dispatch(self, frames: np.ndarray) -> np.ndarray:
+    def _dispatch(self, frames: np.ndarray, active=None) -> np.ndarray:
         """One device dispatch: uint8 RGB [B, H, W, 3] -> binary
         [B, H, W] ink=0/bg=255, via the bit-packed download when
-        available."""
-        if not self._use_packed:
-            return self.binarizer.binarize_frames(frames)
+        available. ``active`` pins a (binarizer, use_packed) pair (reload
+        warms the incoming pair while the worker serves the current)."""
+        binarizer, use_packed = active if active is not None \
+            else self._active
+        if not use_packed:
+            return binarizer.binarize_frames(frames)
         from ..models.fcn_lecturenet import unpack_bits_host
 
-        if self.binarizer.upload_format == "yuv420":
+        if binarizer.upload_format == "yuv420":
             from ..models.fcn_lecturenet import rgb_to_yuv420_host
 
             frames = rgb_to_yuv420_host(frames)
-        device_packed = self.binarizer._packed_fn(
-            self.binarizer._to_device(frames))
-        host = self.binarizer._fetch(device_packed)
+        device_packed = binarizer._packed_fn(binarizer._to_device(frames))
+        host = binarizer._fetch(device_packed)
         return unpack_bits_host(host, self.model_size[0])
 
     def _run(self) -> None:
@@ -277,6 +324,16 @@ def make_handler(service: BinarizeService):
                 self.send_error(404)
 
         def do_POST(self):
+            if self.path.startswith("/reload"):
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                try:
+                    self._json(service.reload_checkpoint(
+                        body.get("checkpoint")))
+                except (RuntimeError, FileNotFoundError, ValueError) as err:
+                    self._json({"ok": False, "error": str(err)},
+                               status=400)
+                return
             if not self.path.startswith("/binarize"):
                 self.send_error(404)
                 return

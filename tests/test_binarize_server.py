@@ -133,3 +133,53 @@ def test_http_contract(service):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_hot_reload_swaps_weights_without_restart(tmp_path):
+    """POST-style reload: a factory-built service swaps to a checkpoint
+    with a different threshold and subsequent requests see the new
+    weights; reload without a factory is a clear error."""
+    import jax.numpy as jnp
+
+    from lecturemath_tpu.pipeline.binarize import (load_checkpoint_variables,
+                                                   save_checkpoint_variables)
+
+    model = FCNLectureNet(NET_CONFIG, dtype=jnp.float32)
+    normal = threshold_binarizer_variables(NET_CONFIG)
+    # threshold near black: the (value 20) glyph is NOT ink any more
+    blind = threshold_binarizer_variables(NET_CONFIG, threshold_gray=5.0)
+    blind_path = str(tmp_path / "blind.msgpack")
+    save_checkpoint_variables(blind, blind_path)
+
+    def factory(checkpoint=None):
+        variables = (normal if checkpoint is None
+                     else load_checkpoint_variables(checkpoint))
+        return Binarizer(model, variables, upload_format="rgb")
+
+    service = BinarizeService(factory(), model_size=(64, 48), max_batch=2,
+                              batch_window_ms=5.0,
+                              binarizer_factory=factory)
+    try:
+        before = service.binarize_rgb(_frame())
+        assert (before[12:18, 14:28] == 0).all()       # glyph is ink
+
+        out = service.reload_checkpoint(blind_path)
+        assert out["ok"] and service.stats()["reloads"] == 1
+
+        after = service.binarize_rgb(_frame())
+        assert (after == 255).all()                    # nothing under 5.0
+
+        service.reload_checkpoint(None)                # back to factory
+        again = service.binarize_rgb(_frame())
+        np.testing.assert_array_equal(again, before)
+    finally:
+        service.close()
+
+    no_factory = BinarizeService(factory(), model_size=(64, 48),
+                                 max_batch=1, batch_window_ms=1.0,
+                                 warmup=False)
+    try:
+        with pytest.raises(RuntimeError, match="binarizer_factory"):
+            no_factory.reload_checkpoint(None)
+    finally:
+        no_factory.close()
