@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import socket
 from typing import Any
 
 
@@ -29,7 +30,9 @@ class ArtifactStore:
         leave a truncated .dat that poisons every later stage."""
         os.makedirs(self.temporal_dir, exist_ok=True)
         out_path = self.path(prefix, lecture_id)
-        tmp_path = f"{out_path}.{os.getpid()}.tmp"
+        # hostname + pid: the temporal dir may be shared over NFS by
+        # -queue hosts, and pids alone can collide across hosts
+        tmp_path = f"{out_path}.{socket.gethostname()}.{os.getpid()}.tmp"
         try:
             with open(tmp_path, "wb") as f:
                 pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -42,13 +45,14 @@ class ArtifactStore:
     def load(self, prefix: str, lecture_id: str) -> Any:
         path = self.path(prefix, lecture_id)
         try:
-            with open(path, "rb") as f:
-                return pickle.load(f)
-        except UnicodeDecodeError:
-            # legacy py2-era reference artifacts pickle byte strings that
-            # need latin1 decoding (reference: misc_helper.py:172-182)
-            with open(path, "rb") as f:
-                return pickle.load(f, encoding="latin1")
+            try:
+                with open(path, "rb") as f:
+                    return pickle.load(f)
+            except UnicodeDecodeError:
+                # legacy py2-era reference artifacts pickle byte strings
+                # that need latin1 decoding (misc_helper.py:172-182)
+                with open(path, "rb") as f:
+                    return pickle.load(f, encoding="latin1")
         except (pickle.UnpicklingError, EOFError) as err:
             # a raw UnpicklingError names neither file nor fix — say both
             raise RuntimeError(

@@ -326,11 +326,17 @@ def make_handler(service: BinarizeService):
         def do_POST(self):
             if self.path.startswith("/reload"):
                 length = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(length) or b"{}")
+                payload = self.rfile.read(length)
                 try:
+                    body = json.loads(payload or b"{}")
+                    if not isinstance(body, dict):
+                        raise ValueError("body must be a JSON object")
                     self._json(service.reload_checkpoint(
                         body.get("checkpoint")))
-                except (RuntimeError, FileNotFoundError, ValueError) as err:
+                except Exception as err:  # noqa: BLE001 — a failed
+                    # reload (bad JSON, bad path, corrupt checkpoint)
+                    # must answer 400, never drop the connection; the
+                    # old model keeps serving either way
                     self._json({"ok": False, "error": str(err)},
                                status=400)
                 return

@@ -19,7 +19,7 @@ def _audit(path):
     page = re.search(r'PAGE = """(.*?)"""', src, re.S).group(1)
     # endpoints the JS fetches; template-interpolated suffixes ("/api/x/"
     # + idx) appear with a trailing slash — normalize to the route prefix
-    js_endpoints = {e.rstrip("/").split("$")[0]
+    js_endpoints = {e.split("$")[0].rstrip("/")
                     for e in re.findall(r"/api/[A-Za-z0-9_/${}]+", page)}
     handler = src[src.index("def make_handler"):]
     routed = {r.rstrip("/") for r in

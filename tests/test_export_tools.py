@@ -206,3 +206,22 @@ def test_artifact_store_save_leaves_no_temp_droppings(tmp_path):
     names = os.listdir(str(tmp_path / "temporal"))
     assert names == ["tempo_binary_lec2.dat"]
     assert store.load("tempo_binary_", "lec2") == [1, 2, 3]
+
+
+def test_artifact_store_corrupt_legacy_pickle_names_path(tmp_path):
+    """A truncated LEGACY (latin1-retry) artifact also gets the
+    actionable error, not a bare EOFError from the retry path."""
+    import pytest
+
+    store = ArtifactStore(str(tmp_path / "temporal"))
+    path = store.path("tempo_binary_", "old")
+    import os
+
+    os.makedirs(str(tmp_path / "temporal"), exist_ok=True)
+    # protocol-0 pickle of a byte string, truncated: first parse raises
+    # UnicodeDecodeError-like paths or UnpicklingError; either way the
+    # wrapper must fire
+    with open(path, "wb") as f:
+        f.write(b"(dp0\nS'\xe9\xe9")
+    with pytest.raises(RuntimeError, match="tempo_binary_old.dat"):
+        store.load("tempo_binary_", "old")
