@@ -183,3 +183,58 @@ def test_hot_reload_swaps_weights_without_restart(tmp_path):
             no_factory.reload_checkpoint(None)
     finally:
         no_factory.close()
+
+
+def test_hot_reload_under_concurrent_traffic(tmp_path):
+    """Requests keep succeeding WHILE a reload swaps the weights — the
+    no-dropped-traffic claim: every response is valid output of either
+    the old or the new model, never an error or a mix."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from lecturemath_tpu.pipeline.binarize import save_checkpoint_variables
+
+    model = FCNLectureNet(NET_CONFIG, dtype=jnp.float32)
+    normal = threshold_binarizer_variables(NET_CONFIG)
+    blind = threshold_binarizer_variables(NET_CONFIG, threshold_gray=5.0)
+    blind_path = str(tmp_path / "blind.msgpack")
+    save_checkpoint_variables(blind, blind_path)
+
+    def factory(checkpoint=None):
+        from lecturemath_tpu.pipeline.binarize import \
+            load_checkpoint_variables
+
+        variables = (normal if checkpoint is None
+                     else load_checkpoint_variables(checkpoint))
+        return Binarizer(model, variables, upload_format="rgb")
+
+    service = BinarizeService(factory(), model_size=(64, 48), max_batch=4,
+                              batch_window_ms=2.0,
+                              binarizer_factory=factory)
+    try:
+        frame = _frame()
+        old = service.binarize_rgb(frame)
+        results, errors = [], []
+
+        def caller():
+            for _ in range(12):
+                try:
+                    results.append(service.binarize_rgb(frame))
+                except Exception as err:  # noqa: BLE001
+                    errors.append(err)
+
+        threads = [threading.Thread(target=caller) for _ in range(4)]
+        for t in threads:
+            t.start()
+        service.reload_checkpoint(blind_path)   # swap mid-traffic
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert len(results) == 48
+        new = service.binarize_rgb(frame)
+        assert (new == 255).all()               # new weights in effect
+        for out in results:                     # old XOR new, never a mix
+            assert (out == old).all() or (out == new).all()
+    finally:
+        service.close()
