@@ -177,3 +177,33 @@ def test_requeue_skips_claim_changed_since_scan(tmp_path, monkeypatch):
                         lambda d: stale_view)
     assert work_queue.requeue_stale(queue, max_age_s=10.0) == []
     assert queue_state(queue)["slowpoke"]["done"] is True   # preserved
+
+
+def test_concurrent_claims_exactly_once(tmp_path):
+    """N threads race to claim/process/release a shared lecture list;
+    every item must be processed EXACTLY once (the O_CREAT|O_EXCL
+    atomicity contract the multi-host queue rests on)."""
+    import threading
+    from collections import Counter
+
+    queue = str(tmp_path / "q")
+    items = [f"lec{k:02d}" for k in range(40)]
+    processed = Counter()
+    lock = threading.Lock()
+
+    def host():
+        for item in items:
+            if claim(queue, item):
+                with lock:
+                    processed[item] += 1
+                release(queue, item, ok=True)
+
+    threads = [threading.Thread(target=host) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert sorted(processed) == items          # every item processed
+    assert set(processed.values()) == {1}      # exactly once
+    state = queue_state(queue)
+    assert all(state[item]["done"] is True for item in items)
