@@ -265,3 +265,44 @@ def test_formulas_oracle_xml_equivalence(tmp_path):
     assert [f.latex_tag for f in ref_formulas] == ["a", "ab"]
     assert [g.strID() for g in ref_formulas[1].groups_refs] == \
         [g_a.str_id(), g_b.str_id()]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_trees_only_fuzz_oracle_load(tmp_path, seed):
+    """Shape-fuzzed word trees: random synthetic ink, auto XY-cut
+    segmentation, trees-only XML — the reference's own SegmentationTree
+    loader must recover the identical word-leaf sets (the fixed-blob
+    interop test covers one layout; this sweeps random ones)."""
+    from oracle import ensure_oracle
+    ensure_oracle()
+    from AccessMath.preprocessing.content.segmentation_tree import (
+        SegmentationTree)
+
+    from lecturemath_tpu.utils.synthetic import synthetic_lecture
+
+    frames, _, _ = synthetic_lecture(
+        seed=seed * 7 + 1, n_frames=6, height=96, width=160, n_boards=1,
+        glyphs_per_board=3 + seed * 2)
+    kfs = []
+    for idx, ink in enumerate([frames[2], frames[-1]]):
+        binary = 255 - ink                       # ink=0 convention
+        raw = np.stack([binary] * 3, axis=-1)
+        kf = KeyframeAnnotation("DB", "lec", idx, 1000.0 * idx, [], raw)
+        kf.binary_image = np.stack([binary] * 3, axis=-1)
+        kfs.append(kf)
+
+    all_words = []
+    for kf in kfs:
+        words = KeyFrameWords.create_default(kf)
+        words.tree.segment_recursive()
+        all_words.append(words)
+    path = str(tmp_path / "word_annotations.xml")
+    save_word_annotations(path, all_words, trees_only=True)
+
+    binaries = [255 - kf.binary_image[:, :, 0] for kf in kfs]
+    trees = SegmentationTree.LoadSegmentationTreesFromXML(path, "",
+                                                          binaries)
+    ref = [set(tuple(int(v) for v in w) for w in t.collect_all_leaves())
+           for t in trees]
+    ours = [set(w.get_words()) for w in all_words]
+    assert ref == ours
