@@ -156,3 +156,44 @@ def test_filter_small_ccs():
     out = classical.filter_small_ccs(binary, 5)
     assert out[5, 5] == 255
     assert out[20, 21] == 0
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_classical_methods_fuzz_vs_reference(seed):
+    """All four classical binarization methods on randomized
+    whiteboard/chalkboard-style images — bit-exact vs the reference
+    Binarizer (fixed-input tests cover one image each; this sweeps
+    backgrounds, stroke contrasts, and noise levels)."""
+    ensure_oracle()
+    from AccessMath.preprocessing.content.binarizer import Binarizer
+
+    rng = np.random.default_rng(100 + seed)
+    height, width = int(rng.integers(40, 120)), int(rng.integers(60, 160))
+    background = int(rng.integers(150, 240))
+    image = np.full((height, width), background, dtype=np.uint8)
+    for _ in range(int(rng.integers(1, 6))):   # random strokes
+        y = int(rng.integers(0, height - 8))
+        x = int(rng.integers(0, width - 12))
+        image[y:y + int(rng.integers(3, 9)),
+              x:x + int(rng.integers(5, 13))] = int(rng.integers(10, 90))
+    image = np.clip(image.astype(int)
+                    + rng.normal(0, rng.uniform(1, 4), image.shape),
+                    0, 255).astype(np.uint8)
+    rgb = np.stack([image] * 3, axis=-1)
+
+    np.testing.assert_array_equal(
+        classical.background_subtraction_binarize(image),
+        Binarizer.backgroundSubtractionBinarization(image))
+    np.testing.assert_array_equal(
+        classical.subtraction_k_binarize(image),
+        Binarizer.bgSubtractionKBinarization(image))
+    dark = 255 - image                          # chalkboard polarity
+    np.testing.assert_array_equal(
+        classical.subtraction_k_binarize(dark, dark_background=True),
+        Binarizer.bgSubtractionKBinarization(dark, dark_background=True))
+    ours_chalk = classical.chalkboard_binarize(dark)
+    theirs_chalk = Binarizer.chalkboardBinarization(dark)
+    np.testing.assert_array_equal(ours_chalk, theirs_chalk)
+    ours_edge = classical.edge_based_region_binarize(rgb)
+    theirs_edge = Binarizer.edgeBasedRegionBinarization(rgb)
+    np.testing.assert_array_equal(ours_edge, theirs_edge)
