@@ -751,6 +751,38 @@ def measure_serving(width: int = 960, height: int = 540,
 
 
 def main():
+    # fail as data, not as a traceback: the driver records only the
+    # stdout tail, so a down tunnel/backend must still yield a parseable
+    # headline line. The axon backend has been observed both to RAISE
+    # (Unavailable) and to HANG for hours — probe on a daemon thread
+    # with a hard deadline so neither mode eats the artifact.
+    import threading
+
+    probe = {"err": "device probe timed out after 300 s (backend hang)"}
+
+    def _probe():
+        try:
+            jax.devices()
+            jax.device_get(jax.numpy.zeros(()) + 1.0)
+            probe["err"] = None
+        except Exception as err:  # noqa: BLE001
+            probe["err"] = f"device backend unavailable: {err}"
+
+    thread = threading.Thread(target=_probe, daemon=True)
+    thread.start()
+    thread.join(timeout=300.0)
+    if probe["err"] is not None:
+        print(json.dumps({
+            "metric": "frames/sec/chip (binarize->CC->summary, 960x540)",
+            "value": None, "unit": "frames/sec", "vs_baseline": None,
+            "error": probe["err"],
+            "note": "see ROUND4.md / BENCH_TRAIN.json for the last "
+                    "measured numbers (e2e 34.4 fps median, 171x "
+                    "baseline, 19.3% inference MFU on tpu v5 lite)",
+        }))
+        # hard-exit: a hung backend thread would otherwise keep the
+        # interpreter alive past the daemon-thread join
+        os._exit(0)
     if "--train" in sys.argv:
         print(json.dumps(measure_training()))
         return
