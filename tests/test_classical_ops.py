@@ -197,3 +197,26 @@ def test_classical_methods_fuzz_vs_reference(seed):
     ours_edge = classical.edge_based_region_binarize(rgb)
     theirs_edge = Binarizer.edgeBasedRegionBinarization(rgb)
     np.testing.assert_array_equal(ours_edge, theirs_edge)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_clahe_host_fuzz_vs_c(c_lib, seed):
+    """Random shapes, grids, slopes, and intensity distributions — the
+    host CLAHE stays bit-exact vs the reference's compiled C, including
+    non-divisible tile geometry and saturated/narrow histograms."""
+    rng = np.random.default_rng(200 + seed)
+    h, w = int(rng.integers(20, 150)), int(rng.integers(20, 150))
+    grid_x = int(rng.integers(2, 11))
+    grid_y = int(rng.integers(2, 11))
+    slope = float(rng.choice([0.0, 0.01, 0.04, 0.1, 0.5]))
+    flavor = seed % 3
+    if flavor == 0:      # uniform noise
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    elif flavor == 1:    # narrow whiteboard-like band + strokes
+        gray = np.clip(rng.normal(215, 8, (h, w)), 0, 255).astype(np.uint8)
+        gray[h // 3:h // 2, w // 4:w // 2] = 35
+    else:                # saturated extremes
+        gray = np.where(rng.random((h, w)) < 0.5, 0, 255).astype(np.uint8)
+    ours = clahe_host(gray, slope, grid_x, grid_y)
+    ref = c_adapthisteq(c_lib, gray, slope, grid_x, grid_y)
+    np.testing.assert_array_equal(ours, ref)
