@@ -109,3 +109,39 @@ def test_conflicts_method_parity(weights):
                                      10, 4, weight_area, weight_pixels,
                                      weight_time, None)
     assert ours == theirs
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_sums_method_fuzz_parity(seed):
+    """Randomized ink-sum staircases (varied era counts, drop depths,
+    noise) — the regression-tree segmentation matches the reference."""
+    vs = oracle_video_segmenter()
+    rng = np.random.default_rng(300 + seed)
+    pieces = []
+    level = 0.0
+    for _ in range(int(rng.integers(2, 5))):
+        top = level + float(rng.uniform(200, 700))
+        pieces.append(np.linspace(level, top, int(rng.integers(10, 30))))
+        pieces.append(np.full(int(rng.integers(3, 12)), top))
+        level = top * float(rng.uniform(0.05, 0.4))
+        pieces.append(np.linspace(top, level, int(rng.integers(2, 6))))
+    sums = np.concatenate(pieces)
+    sums = (sums + rng.normal(0, rng.uniform(2, 15), len(sums))).tolist()
+    leaf_min = int(rng.integers(5, 15))
+    ratio = float(rng.uniform(0.02, 0.1))
+    assert seg.segments_from_sums(sums, leaf_min=leaf_min,
+                                  min_erase_ratio=ratio) == \
+        vs.video_segments_from_sums(sums, leaf_min, ratio)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_find_signal_peaks_fuzz_parity(seed):
+    vs = oracle_video_segmenter()
+    rng = np.random.default_rng(400 + seed)
+    n = int(rng.integers(20, 120))
+    signal = np.round(rng.random(n) * rng.integers(3, 30))
+    signal_dict = {i: signal[i] for i in range(n)}
+    lo = int(rng.integers(0, n // 2))
+    hi = int(rng.integers(lo + 1, n))
+    assert seg.find_signal_peaks(lo, hi, signal) == \
+        vs.find_signal_peaks(lo, hi, signal_dict)
