@@ -148,3 +148,33 @@ def test_pixel_metrics_parity(eval_setup):
     ref = RefEvaluator.compute_pixel_binary_metrics(ref_gt, ref_summ)
     for key in ref:
         assert ours[key] == pytest.approx(ref[key], rel=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_alignment_fuzz_fft_vs_scan_vs_reference(seed):
+    """Random content and displacements (incl. ties from sparse/empty
+    ink): the FFT alignment equals the exhaustive scan AND the
+    reference's Aligner for both sort orders."""
+    ensure_oracle()
+    from AccessMath.preprocessing.content.aligner import Aligner
+
+    rng = np.random.default_rng(500 + seed)
+    h, w = int(rng.integers(40, 100)), int(rng.integers(50, 130))
+    gt_ink = np.zeros((h, w), np.uint8)
+    for _ in range(int(rng.integers(0, 6))):   # 0 strokes = empty case
+        y, x = int(rng.integers(0, h - 6)), int(rng.integers(0, w - 9))
+        gt_ink[y:y + int(rng.integers(2, 7)),
+               x:x + int(rng.integers(3, 10))] = 255
+    dy, dx = int(rng.integers(-4, 5)), int(rng.integers(-4, 5))
+    summ_ink = np.roll(np.roll(gt_ink, dy, axis=0), dx, axis=1)
+    drop = rng.random(summ_ink.shape) < rng.uniform(0, 0.05)
+    summ_ink[drop] = 0
+    gt, summ = 255 - gt_ink, 255 - summ_ink
+    window = int(rng.integers(3, 9))
+    for sort_by in (0, 1):
+        fft = translation_alignment(gt, summ, window, 0, sort_by)
+        scan = translation_alignment_scan(gt, summ, window, 0, sort_by)
+        ref = tuple(Aligner.computeTranslationAlignment(gt, summ, window,
+                                                        0, sort_by))
+        assert fft == pytest.approx(scan), (seed, sort_by)
+        assert fft == pytest.approx(ref), (seed, sort_by)
