@@ -103,6 +103,21 @@ def polygon_intersection_area(p: np.ndarray, q: np.ndarray) -> float:
     return _raster_intersection_area(p, q)
 
 
+def expand_box_points(polygon_points) -> np.ndarray:
+    """Normalize editor-style 2-corner boxes to 4-corner polygons.
+
+    The reference GUI always stores >=3-vertex polygons; our annotation
+    editor's box tool sends two opposite corners. Zero-area 2-point
+    polygons break every area/intersection computation downstream, so
+    expand them at ingress."""
+    points = np.asarray(polygon_points, dtype=np.float64)
+    if points.shape == (2, 2):
+        (x0, y0), (x1, y1) = points
+        return np.asarray([[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                          dtype=np.float64)
+    return points
+
+
 @dataclass
 class ObjectLocation:
     visible: bool
@@ -122,13 +137,17 @@ class ObjectLocation:
 
     def intersection_percentage(self, other: "ObjectLocation") -> float:
         """Fraction of THIS polygon's area covered by `other`
-        (reference: video_object_location.py:58-62)."""
-        return self.intersection_area(other) / self.area()
+        (reference: video_object_location.py:58-62). Zero-area polygons
+        (degenerate input) yield 0.0, not NaN — a NaN here silently
+        fails every <= occlusion comparison downstream."""
+        area = self.area()
+        return self.intersection_area(other) / area if area > 0 else 0.0
 
     def iou(self, other: "ObjectLocation") -> float:
         """(reference: video_object_location.py:64-70)."""
         inter = self.intersection_area(other)
-        return inter / (self.area() + other.area() - inter)
+        union = self.area() + other.area() - inter
+        return inter / union if union > 0 else 0.0
 
     def get_polygon_points(self) -> List[Tuple[float, float]]:
         """(reference: video_object_location.py:78-79)."""
@@ -143,6 +162,11 @@ class ObjectLocation:
             return loc1
         if frame >= loc2.frame:
             return loc2
+        if len(loc1.polygon_points) != len(loc2.polygon_points):
+            # mismatched vertex counts cannot lerp — hold the earlier
+            # keypose (nearest-before), like a step function
+            return ObjectLocation(loc1.visible, frame, loc1.abs_time,
+                                  loc1.polygon_points, loc1.label)
         w = (frame - loc1.frame) / float(loc2.frame - loc1.frame)
         return ObjectLocation(
             loc1.visible, frame,
@@ -175,7 +199,10 @@ class ObjectLocation:
             visible=node.findtext("Visible", "1").strip() == "1",
             frame=int(node.findtext("Frame")),
             abs_time=float(node.findtext("AbsTime", "0")),
-            polygon_points=np.asarray(points, dtype=np.float64),
+            # 2-point legacy boxes (written by early versions of our
+            # editor) normalize to the reference's 4-corner convention so
+            # pose interpolation never mixes vertex counts
+            polygon_points=expand_box_points(points),
             label=node.findtext("Label"))
 
 
@@ -207,10 +234,13 @@ class TimelineObject:
     def set_location_at(self, frame: int, abs_time: float, visible: bool,
                         polygon_points) -> bool:
         idx = self._find_index(frame)
-        points = np.asarray(polygon_points, dtype=np.float64)
+        points = expand_box_points(polygon_points)
         if idx < len(self.locations) and self.locations[idx].frame == frame:
             self.locations[idx].visible = visible
-            self.locations[idx].polygon_points[:] = points
+            # fresh array, not slice-assign: the new pose may have a
+            # different vertex count than the old one
+            self.locations[idx].polygon_points = points
+            self.locations[idx].abs_time = abs_time
             return False
         label = self.locations[idx - 1].label if idx >= 1 else None
         self.locations.insert(idx, ObjectLocation(visible, frame, abs_time,

@@ -366,12 +366,14 @@ class TextDetectionEvaluator:
             gt_count = keyframe_gt[keyframe_id]["total_visible"]
 
             det_frame = np.zeros(gt_frame.shape, bool)
+            # a frame without per-box confidences cannot be filtered —
+            # treat its boxes as all-valid rather than crashing on None
             confidences = (frame_results.get("confidences")
                            if min_confidence is not None else None)
             total_valid = 0
             for bbox_idx, (x1, y1, x2, y2) in \
                     enumerate(frame_results["bboxes"]):
-                if (min_confidence is None
+                if (min_confidence is None or confidences is None
                         or confidences[bbox_idx] >= min_confidence):
                     total_valid += 1
                     det_frame[int(y1):int(y2), int(x1):int(x2)] = True

@@ -84,18 +84,30 @@ def make_mesh(spec: MeshSpec = MeshSpec(), devices=None) -> Mesh:
     return Mesh(grid, axis_names=("data", "model"))
 
 
-def put_with_sharding(x: Any, sharding: NamedSharding) -> Any:
+def put_with_sharding(x: Any, sharding: NamedSharding,
+                      global_array: bool = False) -> Any:
     """Place one host array under a (possibly multi-process) sharding.
 
     Single-process: plain device_put. Multi-process (jax.distributed
-    initialized, process_count > 1): the caller passes its PROCESS-LOCAL
-    portion — the rows of a 'data'-sharded batch this host owns, or the
-    full array for replicated/intra-process shardings — and
-    jax.make_array_from_process_local_data assembles the global array
-    (host-local batching; no host ever materializes the global batch)."""
+    initialized, process_count > 1), two caller contracts:
+
+    * ``global_array=False`` (batches): the caller passes its
+      PROCESS-LOCAL portion — the rows of a 'data'-sharded batch this
+      host owns — and jax.make_array_from_process_local_data assembles
+      the global array (host-local batching; no host ever materializes
+      the global batch).
+    * ``global_array=True`` (params / replicated state): every host
+      passes the SAME full array and each provides its addressable
+      shards by slicing it — correct for replicated specs AND for
+      sharded axes that span processes (e.g. channel-'model' sharding
+      on a tp-across-hosts mesh, where the local-chunk contract above
+      would silently double the axis)."""
     if jax.process_count() > 1:
-        return jax.make_array_from_process_local_data(sharding,
-                                                      np.asarray(x))
+        x = np.asarray(x)
+        if global_array:
+            return jax.make_array_from_callback(
+                np.shape(x), sharding, lambda idx: x[idx])
+        return jax.make_array_from_process_local_data(sharding, x)
     return jax.device_put(x, sharding)
 
 
@@ -179,13 +191,16 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     specs = params_pspec_tree(params, mesh)
     return jax.tree.map(
         lambda value, spec: put_with_sharding(value,
-                                              NamedSharding(mesh, spec)),
+                                              NamedSharding(mesh, spec),
+                                              global_array=True),
         params, specs)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: put_with_sharding(x, sharding), tree)
+    return jax.tree.map(lambda x: put_with_sharding(x, sharding,
+                                                    global_array=True),
+                        tree)
 
 
 def warmup_collectives(mesh: Mesh) -> None:
@@ -219,7 +234,8 @@ def warmup_collectives(mesh: Mesh) -> None:
 
     x = np.zeros((mesh.shape["data"], mesh.shape["model"]), np.float32)
     out = _warm(put_with_sharding(x, NamedSharding(mesh, P("data",
-                                                           "model"))))
+                                                           "model")),
+                                  global_array=True))
     # fetch the (already reduced) scalar rather than block_until_ready:
     # through the axon tunnel block_until_ready is a measured no-op (see
     # CLAUDE.md), and the whole point here is to NOT return before the

@@ -154,6 +154,12 @@ class PipelineDriver:
         # first-served through a shared claim directory (parallel/
         # work_queue.py) — long lectures no longer idle the other hosts
         queue_dir = self.params.get("queue")
+        if queue_dir is not None and not isinstance(queue_dir, str):
+            # a bare "-queue" flag parses as True — claiming into a
+            # cwd-relative directory named "True" would silently give
+            # every host its own private queue (duplicate work)
+            raise ValueError("-queue requires a shared directory path "
+                             "(e.g. -queue /shared/claims)")
         if queue_dir is not None and "shard" in self.params:
             raise ValueError("-shard and -queue are mutually exclusive")
 

@@ -352,7 +352,13 @@ def make_handler(service: BinarizeService):
                             "error": "body is not a decodable image"},
                            status=400)
                 return
-            binary = service.binarize_rgb(image[:, :, ::-1])
+            try:
+                binary = service.binarize_rgb(image[:, :, ::-1])
+            except Exception as err:  # noqa: BLE001 — service errors
+                # (closing, dispatch failure, timeout) must answer 503,
+                # never drop the connection
+                self._json({"ok": False, "error": str(err)}, status=503)
+                return
             if "invert=1" in self.path:
                 binary = 255 - binary
             ok, buffer = cv2.imencode(".png", binary)

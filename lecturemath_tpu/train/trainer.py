@@ -98,19 +98,26 @@ class Trainer:
         pspecs = params_pspec_tree(state.params, mesh)
 
         def put(tree, specs):
+            # params/state: every host passes the SAME full arrays
+            # (global_array contract — correct even when the 'model'
+            # axis spans processes)
             return jax.tree.map(
-                lambda v, s: put_with_sharding(v, NamedSharding(mesh, s)),
+                lambda v, s: put_with_sharding(v, NamedSharding(mesh, s),
+                                               global_array=True),
                 tree, specs)
 
         replicated = NamedSharding(mesh, P())
         return TrainState(
-            step=put_with_sharding(state.step, replicated),
+            step=put_with_sharding(state.step, replicated,
+                                   global_array=True),
             params=put(state.params, pspecs),
             batch_stats=jax.tree.map(
-                lambda v: put_with_sharding(v, replicated),
+                lambda v: put_with_sharding(v, replicated,
+                                            global_array=True),
                 state.batch_stats),
             opt_state=jax.tree.map(
-                lambda v: put_with_sharding(v, replicated),
+                lambda v: put_with_sharding(v, replicated,
+                                            global_array=True),
                 state.opt_state),
         )
 

@@ -634,12 +634,19 @@ def make_handler(session: AnnotationEditorSession):
                 self._json(session.state())
             elif self.path.startswith("/api/pose/"):
                 name, frame = self.path.rsplit("/", 2)[-2:]
-                self._json(session.location_at(
-                    name, int(frame.split("?")[0])))
+                try:
+                    self._json(session.location_at(
+                        name, int(frame.split("?")[0])))
+                except (ValueError, KeyError) as err:
+                    self.send_error(404, str(err))
             elif self.path.startswith("/img/frame/"):
                 index = int(self.path.rsplit("/", 1)[1].split("?")[0]
                             .replace(".png", ""))
-                image = session.render_frame(index)[:, :, ::-1]
+                try:   # unreadable file / index past end -> 404, not a
+                    image = session.render_frame(index)[:, :, ::-1]
+                except (KeyError, IOError, ValueError) as err:  # crash
+                    self.send_error(404, str(err))
+                    return
                 ok, buffer = cv2.imencode(".png", image)
                 assert ok
                 self._send(buffer.tobytes(), "image/png")

@@ -354,15 +354,21 @@ class GTEditorSession:
         self._binaries[kf_idx][y:y + h, x:x + w] = value
 
     def reject_portion(self, kf_idx: int, portion_index: int) -> None:
-        """Reject a content portion: clear its pixels to background and
-        drop it from the portion list (the accept/reject loop of the
-        reference annotators; accepted portions are simply kept). Portion
-        binaries are ink=0/bg=255 regardless of the Dark flag (Dark only
-        records the board tone), so clearing is always erase=True."""
+        """Reject a content portion: clear ITS ink and drop it from the
+        portion list (the accept/reject loop of the reference annotators;
+        accepted portions are simply kept). Only the portion's own
+        unclaimed ink is erased (_erase_portion) — clearing the whole
+        rectangle would destroy overlapping portions' ink and hand-
+        painted strokes inside it. Portion binaries are ink=0/bg=255
+        regardless of the Dark flag (Dark only records the board tone)."""
         kf = self._kf(kf_idx)
         portion = kf.portions[portion_index]
-        self.fill_rect(kf_idx, portion.x, portion.y, portion.w, portion.h,
-                       erase=True)
+        self._push_undo(kf_idx)
+        if portion.binary is not None:
+            self._erase_portion(kf_idx, kf, portion_index)
+        else:   # no pixel backing recorded: rectangle clear is all we have
+            x, y, w, h = portion.x, portion.y, portion.w, portion.h
+            self._binaries[kf_idx][y:y + h, x:x + w] = 255
         del kf.portions[portion_index]
 
     # ------------------------------------------------ portion-tier editing

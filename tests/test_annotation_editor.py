@@ -78,7 +78,10 @@ def test_object_timeline_interpolation(workspace):
     session.set_location("speaker", 10, [[30, 10], [40, 30]])
 
     mid = session.location_at("speaker", 6)   # halfway: x shifts 10 -> 20
-    np.testing.assert_allclose(mid["points"], [[20, 10], [30, 30]])
+    # 2-corner box input expands to the reference's 4-corner polygon
+    # convention at ingress (gt_content_annotator.py:1177)
+    np.testing.assert_allclose(mid["points"], [[20, 10], [30, 10],
+                                               [30, 30], [20, 30]])
     assert session.location_at("speaker", 0) is None   # before first pose
 
     session.set_visible("speaker", 10, False)
@@ -277,3 +280,68 @@ def test_overreported_header_count_corrected(tmp_path):
     [(_, expected)] = sample_frame_indices(videos, [52])
     np.testing.assert_array_equal(session.frame(52), expected)
     assert session._counts[0] == 50
+
+
+def test_box_pose_expands_and_occlusion_math_is_finite():
+    """2-corner box poses from the editor expand to 4-corner polygons at
+    ingress, so area/intersection/occlusion math stays finite (a 2-point
+    polygon has zero area -> NaN percentages that silently drop every
+    text box as occluded downstream)."""
+    from lecturemath_tpu.eval.lecture_annotation import TimelineObject
+
+    speaker = TimelineObject("speaker", "speaker", 0)
+    speaker.set_location_at(0, 0.0, True, [(10.0, 10.0), (60.0, 90.0)])
+    text = TimelineObject("text", "text", 0)
+    text.set_location_at(0, 0.0, True, [(30.0, 30.0), (50.0, 50.0)])
+    sp = speaker.locations[0]
+    tx = text.locations[0]
+    assert sp.polygon_points.shape == (4, 2)
+    assert sp.area() == (60 - 10) * (90 - 10)
+    pct = tx.intersection_percentage(sp)
+    assert pct == 1.0                      # text box fully inside speaker
+    assert 0.0 <= sp.intersection_percentage(tx) <= 1.0
+
+    # re-shaping a pose (4 corners -> explicit 3-vertex polygon) works
+    speaker.set_location_at(0, 5.0, True,
+                            [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)])
+    assert speaker.locations[0].polygon_points.shape == (3, 2)
+    assert speaker.locations[0].abs_time == 5.0
+
+    # degenerate zero-area polygons yield 0.0, never NaN
+    line = TimelineObject("line", "line", 0)
+    line.set_location_at(0, 0.0, True,
+                         [(0.0, 0.0), (5.0, 0.0), (10.0, 0.0)])
+    assert line.locations[0].intersection_percentage(sp) == 0.0
+    assert line.locations[0].iou(line.locations[0]) == 0.0
+
+
+def test_legacy_two_point_xml_pose_normalizes_on_load(tmp_path):
+    """XMLs written by early editor versions stored 2-point box poses;
+    loading normalizes them to 4-corner polygons so interpolation with
+    newly added poses never mixes vertex counts (observed crash)."""
+    from lecturemath_tpu.eval.lecture_annotation import LectureAnnotation
+
+    annotation = LectureAnnotation("DB", "lec", str(tmp_path / "a.xml"),
+                                   ["v.mp4"], 100)
+    xml = annotation.to_xml().replace(
+        "</VideoObjects>",
+        """<VideoObject><Id>spk</Id><Name>spk</Name><Shape>0</Shape>
+        <VideoObjectLocations><VideoObjectLocation>
+        <Visible>1</Visible><Frame>5</Frame><AbsTime>0</AbsTime>
+        <Polygon><Point><X>10</X><Y>10</Y></Point>
+        <Point><X>60</X><Y>90</Y></Point></Polygon>
+        </VideoObjectLocation></VideoObjectLocations>
+        </VideoObject></VideoObjects>""")
+    path = str(tmp_path / "legacy.xml")
+    with open(path, "w") as f:
+        f.write(xml)
+
+    loaded = LectureAnnotation.load(path)
+    obj = loaded.video_objects["spk"]
+    assert obj.locations[0].polygon_points.shape == (4, 2)
+    obj.set_location_at(40, 1.0, True,
+                        [(30.0, 10.0), (80.0, 10.0), (80.0, 90.0),
+                         (30.0, 90.0)])
+    mid = obj.get_location_at(22, False)     # lerps 4 <-> 4 cleanly
+    assert mid.polygon_points.shape == (4, 2)
+    assert 10.0 < mid.polygon_points[0][0] < 30.0

@@ -593,3 +593,35 @@ def test_threshold_flat_black_cell_stays_background():
     tool = ThresholdTool(raw)
     tool.init_grid(2, 2)
     assert (tool.binary() == 255).all()
+
+
+def test_reject_portion_preserves_overlapping_ink(workspace):
+    """Rejecting one portion erases only ITS unclaimed ink — overlapping
+    portions' ink and unrelated strokes in the rectangle survive."""
+    from lecturemath_tpu.utils.gt_editor import GTEditorSession
+
+    session = GTEditorSession(workspace["prefix"])
+    kf_id = session.keyframe_ids()[0]
+    kf = session._kf(kf_id)
+    binary = session.binary(kf_id)
+    h, w = binary.shape
+
+    import numpy as np
+    from lecturemath_tpu.eval.annotation import KeyframePortion
+
+    def portion(x, y, pw, ph):
+        cut = np.full((ph, pw), 255, np.uint8)
+        cut[:] = 0                       # solid ink block
+        return KeyframePortion(x, y, pw, ph, cut)
+
+    kf.portions = [portion(2, 2, 10, 10), portion(8, 2, 10, 10)]
+    session._blit_portion(kf_id, kf.portions[0])
+    session._blit_portion(kf_id, kf.portions[1])
+    # a hand-painted stroke inside portion 0's rect but outside portion 1
+    session.stroke(kf_id, [[3, 14], [5, 14]], radius=1, erase=False)
+
+    session.reject_portion(kf_id, 0)
+    after = session.binary(kf_id)
+    assert (after[2:12, 8:18] == 0).all()      # overlap region: B's ink kept
+    assert (after[2:12, 2:8] == 255).all()     # A-only ink erased
+    assert (after[13:16, 2:7] == 0).any()      # hand stroke survives
