@@ -230,3 +230,29 @@ def test_streaming_tracker_chunk_frames():
     for start in range(0, len(frames), 4):  # batches smaller than chunks
         streaming.add_frames(list(frames[start:start + 4]))
     assert_trackers_equal(sequential, streaming.finish())
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_shard_invariance_shape_fuzz(seed):
+    """Randomized lecture shapes (board counts, glyph density, sizes,
+    gap settings, jitter, odd shard-boundary placement via n_frames) —
+    sharded tracking stays bit-identical to sequential at every shard
+    count, uneven splits included."""
+    rng = np.random.default_rng(600 + seed)
+    frames, _, _ = synthetic_lecture(
+        seed=seed * 13 + 3, n_frames=int(rng.integers(9, 60)),
+        height=int(rng.integers(48, 140)),
+        width=int(rng.integers(64, 180)),
+        n_boards=int(rng.integers(1, 4)),
+        glyphs_per_board=int(rng.integers(1, 8)),
+        jitter=float(rng.uniform(0.0, 0.07)))
+    min_r = min_p = float(rng.choice([0.8, 0.85, 0.9]))
+    max_gap = int(rng.integers(3, 20))
+
+    reference = _sequential(frames, min_r, min_p, max_gap)
+    ref_down = _downstream_groups(reference, max_gap)
+    for n_shards in (2, 3, 5, 8):           # 3/5 force uneven splits
+        sharded = track_sharded(frames, min_r, min_p, max_gap,
+                                n_shards=n_shards)
+        assert_trackers_equal(reference, sharded)
+        assert _downstream_groups(sharded, max_gap) == ref_down
