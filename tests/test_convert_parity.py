@@ -264,3 +264,26 @@ def test_forward_parity_config_sweep(cfg_kwargs, hw):
     np.testing.assert_allclose(np.asarray(j_bin),
                                t_bin.numpy().transpose(0, 2, 3, 1),
                                atol=5e-3)
+
+
+def test_bitexact_roundtrip_flax_torch_flax():
+    """flax -> torch state_dict -> flax is BIT-exact for every leaf
+    across a non-monotonic width config (any transposition/copy slip in
+    either direction shows up as an array mismatch)."""
+    from lecturemath_tpu.models.convert import flax_to_torch_state_dict
+
+    cfg = FCNConfig(down_filters=(6, 4, 8, 5, 9), mid_filters=7,
+                    upsample_filters=(5, 3, 6, 4, 7),
+                    up_filters=(4, 6, 3, 7, 5), pixel_features=(4, 3),
+                    kernel_size=3, pixel_kernel_size=7)
+    net = _build_torch_net(cfg, seed=11)
+    variables = torch_state_dict_to_flax(net.state_dict())
+    back = torch_state_dict_to_flax(flax_to_torch_state_dict(variables))
+
+    flat_a = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(flat_a) == len(flat_b)
+    for (path_a, leaf_a), (path_b, leaf_b) in zip(flat_a, flat_b):
+        assert path_a == path_b
+        np.testing.assert_array_equal(np.asarray(leaf_a),
+                                      np.asarray(leaf_b), err_msg=str(path_a))
