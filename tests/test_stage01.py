@@ -109,3 +109,33 @@ def test_yuv420_upload_format():
     _, _, b = yuv_bin.process_source(ArraySource(rgb, fps=1.0))
     mismatch = np.mean([np.mean(x != y) for x, y in zip(a, b)])
     assert mismatch < 0.01, f"yuv path diverged: {mismatch}"
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_yuv420_roundtrip_fuzz(seed):
+    """Random even geometries and content styles: the device-side I420
+    reconstruction stays within OpenCV rounding of cv2's own YUV->RGB
+    across the whole sweep (max 3 gray levels per channel; whiteboard-
+    style low-chroma content is tighter)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from lecturemath_tpu.models.fcn_lecturenet import (rgb_to_yuv420_host,
+                                                       yuv420_to_rgb)
+
+    rng = np.random.default_rng(700 + seed)
+    height = int(rng.integers(4, 60)) * 4        # I420 wants H % 4 == 0
+    width = int(rng.integers(4, 80)) * 2
+    if seed % 2:                                  # whiteboard-ish
+        rgb = np.clip(rng.normal(220, 10, (2, height, width, 3)), 0,
+                      255).astype(np.uint8)
+        rgb[:, height // 4:height // 2, width // 4:width // 2] = 30
+    else:                                         # saturated random color
+        rgb = rng.integers(0, 256, (2, height, width, 3), np.uint8)
+
+    planes = rgb_to_yuv420_host(rgb)
+    ours = np.asarray(yuv420_to_rgb(jnp.asarray(planes)))
+    theirs = np.stack([cv2.cvtColor(p, cv2.COLOR_YUV2RGB_I420)
+                       for p in planes])
+    diff = np.abs(ours.astype(int) - theirs.astype(int))
+    assert diff.max() <= 3, (seed, height, width, diff.max())
