@@ -162,6 +162,24 @@ class PipelineDriver:
                              "(e.g. -queue /shared/claims)")
         if queue_dir is not None and "shard" in self.params:
             raise ValueError("-shard and -queue are mutually exclusive")
+        # "-requeue SECONDS": recycle claims from dead hosts (and failed
+        # releases) before claiming — the operator surface over
+        # work_queue.requeue_stale, so restarting a crashed fleet needs
+        # no manual claim-file cleanup
+        requeue_age = self.params.get("requeue")
+        if requeue_age is not None:
+            if queue_dir is None:
+                raise ValueError("-requeue requires -queue <dir>")
+            try:
+                requeue_age = float(requeue_age)
+            except (TypeError, ValueError):
+                raise ValueError("-requeue requires a max claim age in "
+                                 "seconds (e.g. -requeue 7200)") from None
+            from ..parallel.work_queue import requeue_stale
+
+            recycled = requeue_stale(str(queue_dir), requeue_age)
+            if recycled:
+                print(f"Re-queued stale claims: {', '.join(recycled)}")
 
         position = 0
         for lecture in self.database.lectures:

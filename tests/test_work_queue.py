@@ -207,3 +207,39 @@ def test_concurrent_claims_exactly_once(tmp_path):
     assert set(processed.values()) == {1}      # exactly once
     state = queue_state(queue)
     assert all(state[item]["done"] is True for item in items)
+
+
+def test_driver_requeue_flag_recycles_dead_claims(driver_workspace):
+    """-requeue SECONDS on a -queue run recycles a dead host's stale
+    claim (and a failed release) before claiming; guarded usage errors
+    for -requeue without -queue or a non-numeric age."""
+    import json
+    import os
+
+    queue = str(driver_workspace / "claims")
+    # a "dead host" claimed lec01 long ago and never released
+    assert claim(queue, "lec01")
+    path = os.path.join(queue, "lec01.claim")
+    with open(path) as f:
+        record = json.load(f)
+    record["claimed_at"] -= 7200.0
+    with open(path, "w") as f:
+        json.dump(record, f)
+    # and lec02 failed
+    assert claim(queue, "lec02")
+    release(queue, "lec02", ok=False)
+
+    driver = _drive(driver_workspace,
+                    ["-queue", queue, "-requeue", "3600"])
+    seen = [lec.title for lec in driver.iter_lectures()]
+    assert sorted(seen) == [f"lec{k:02d}" for k in range(5)]  # all run
+    state = queue_state(queue)
+    assert all(state[t]["done"] is True for t in seen)
+
+    bad = _drive(driver_workspace, ["-requeue", "3600"])
+    with pytest.raises(ValueError, match="requires -queue"):
+        list(bad.iter_lectures())
+    bad2 = _drive(driver_workspace,
+                  ["-queue", queue, "-requeue", "soon"])
+    with pytest.raises(ValueError, match="seconds"):
+        list(bad2.iter_lectures())
