@@ -40,6 +40,7 @@ import jax  # noqa: E402  (after cache env)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 
 BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
+LAST_GOOD_FILE = os.path.join(REPO, "BENCH_LAST_GOOD.json")
 
 FRAMES = 128
 WIDTH, HEIGHT = 960, 540
@@ -750,12 +751,81 @@ def measure_serving(width: int = 960, height: int = 540,
     }
 
 
+def _subprocess_probe(timeout_s):
+    """Probe the device backend from a FRESH interpreter.
+
+    A hung in-process backend init cannot be retried (jax caches the
+    half-initialized backend behind a lock, so every later call in this
+    process joins the same hang) — each retry must pay a clean
+    interpreter. Returns (ok, error_string_or_None).
+    """
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "jax.device_get(jnp.zeros(()) + 1.0); print('LM_PROBE_OK')")
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, env=os.environ.copy())
+    except subprocess.TimeoutExpired:
+        return False, (f"device probe subprocess timed out after "
+                       f"{timeout_s:.0f} s (backend hang)")
+    if "LM_PROBE_OK" in (res.stdout or ""):
+        return True, None
+    tail = ((res.stderr or "") + (res.stdout or "")).strip().splitlines()
+    detail = tail[-1] if tail else f"probe exited {res.returncode}"
+    return False, f"device backend unavailable: {detail}"
+
+
+def _wait_for_backend():
+    """Probe the backend with bounded retries. Returns None when up,
+    else the last error string.
+
+    The axon backend has been observed to RAISE (Unavailable) and to
+    HANG for hours; a single probe at an unlucky moment would turn the
+    whole round artifact into an error record, so spend up to
+    LM_BENCH_PROBE_DEADLINE_S (default 600 s) re-probing from fresh
+    subprocesses before degrading.
+    """
+    deadline_s = float(os.environ.get("LM_BENCH_PROBE_DEADLINE_S", "600"))
+    probe_timeout = min(75.0, deadline_s)
+    start = time.time()
+    ok, err = _subprocess_probe(probe_timeout)
+    while not ok:
+        remaining = deadline_s - (time.time() - start)
+        if remaining < probe_timeout + 5.0:
+            break
+        time.sleep(30.0)
+        ok, err = _subprocess_probe(probe_timeout)
+    return None if ok else err
+
+
 def main():
     # fail as data, not as a traceback: the driver records only the
     # stdout tail, so a down tunnel/backend must still yield a parseable
-    # headline line. The axon backend has been observed both to RAISE
-    # (Unavailable) and to HANG for hours — probe on a daemon thread
-    # with a hard deadline so neither mode eats the artifact.
+    # headline line — with the last successful run's numbers attached so
+    # the artifact stays quantitative even through an outage.
+    err = _wait_for_backend()
+    if err is not None:
+        last_good = None
+        try:
+            with open(LAST_GOOD_FILE) as fh:
+                last_good = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        print(json.dumps({
+            "metric": "frames/sec/chip (binarize->CC->summary, 960x540)",
+            "value": None, "unit": "frames/sec", "vs_baseline": None,
+            "error": err,
+            "last_good": last_good,
+            "note": "device backend unreachable for the whole probe "
+                    "window; last_good is the most recent successful "
+                    "headline (see also ROUND4.md / BENCH_TRAIN.json)",
+        }))
+        os._exit(0)
+    # second belt: the backend can die between the subprocess probe and
+    # this process's own init — guard the in-process init on a daemon
+    # thread so a hang still yields a parseable line.
     import threading
 
     probe = {"err": "device probe timed out after 300 s (backend hang)"}
@@ -765,8 +835,8 @@ def main():
             jax.devices()
             jax.device_get(jax.numpy.zeros(()) + 1.0)
             probe["err"] = None
-        except Exception as err:  # noqa: BLE001
-            probe["err"] = f"device backend unavailable: {err}"
+        except Exception as e:  # noqa: BLE001
+            probe["err"] = f"device backend unavailable: {e}"
 
     thread = threading.Thread(target=_probe, daemon=True)
     thread.start()
@@ -776,12 +846,9 @@ def main():
             "metric": "frames/sec/chip (binarize->CC->summary, 960x540)",
             "value": None, "unit": "frames/sec", "vs_baseline": None,
             "error": probe["err"],
-            "note": "see ROUND4.md / BENCH_TRAIN.json for the last "
-                    "measured numbers (e2e 34.4 fps median, 171x "
-                    "baseline, 19.3% inference MFU on tpu v5 lite)",
+            "note": "backend answered the subprocess probe but the "
+                    "in-process init failed/hung",
         }))
-        # hard-exit: a hung backend thread would otherwise keep the
-        # interpreter alive past the daemon-thread join
         os._exit(0)
     if "--train" in sys.argv:
         print(json.dumps(measure_training()))
@@ -808,7 +875,7 @@ def main():
     # long detail line above once truncated the round artifact's head
     # (VERDICT r3 weak #4) — this line alone certifies the run
     links = extras.get("per_run_accounting", [])
-    print(json.dumps({
+    headline = {
         "metric": detail["metric"],
         "value": detail["value"],
         "unit": "frames/sec",
@@ -825,7 +892,15 @@ def main():
             "note": "e2e fps is tunnel-transfer-bound on this rig; "
                     "stage01_device_fps is the stable compute signal",
         },
-    }))
+    }
+    # remember this run so a later outage still reports real numbers
+    try:
+        with open(LAST_GOOD_FILE, "w") as fh:
+            json.dump(dict(headline, recorded_unix=round(time.time(), 1)),
+                      fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,69 @@
+"""bench.py backend-probe robustness.
+
+The axon backend raises OR hangs when down (observed multi-hour outages);
+bench must still emit a parseable headline with the last-good numbers
+attached. These tests exercise the probe helper and the last-good record
+without a device. The probe subprocess pays a fresh interpreter: this
+image's sitecustomize forces the axon platform whenever
+PALLAS_AXON_POOL_IPS is set, so the tests clear it to steer the
+subprocess onto cpu / a bogus backend deterministically.
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "lm_bench", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_subprocess_probe_succeeds_on_cpu(bench, monkeypatch):
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    ok, err = bench._subprocess_probe(timeout_s=120)
+    assert ok and err is None
+
+
+def test_subprocess_probe_reports_bad_backend(bench, monkeypatch):
+    """An unusable backend must come back as (False, message) — the raise
+    path; the hang path is the timeout branch of the same helper."""
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "definitely_not_a_backend")
+    ok, err = bench._subprocess_probe(timeout_s=120)
+    assert not ok
+    assert "unavailable" in err or "timed out" in err
+
+
+def test_wait_for_backend_bounded_retry(bench, monkeypatch):
+    """A failing backend must return the error within the deadline (no
+    unbounded loop), and a working one must return None on the first try."""
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "definitely_not_a_backend")
+    monkeypatch.setenv("LM_BENCH_PROBE_DEADLINE_S", "5")
+    err = bench._wait_for_backend()
+    assert err is not None
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("LM_BENCH_PROBE_DEADLINE_S", "120")
+    assert bench._wait_for_backend() is None
+
+
+def test_last_good_record_is_valid_headline_json():
+    """The committed seed record must parse and carry the headline keys the
+    degraded path embeds (a malformed seed would silently drop to null)."""
+    with open(os.path.join(REPO, "BENCH_LAST_GOOD.json")) as fh:
+        rec = json.load(fh)
+    for key in ("metric", "value", "unit", "vs_baseline",
+                "stage01_device_fps", "mfu", "device"):
+        assert key in rec, key
+    assert rec["value"] and rec["value"] > 0
