@@ -9,6 +9,7 @@ MODULES = {
     "gt_editor": "lecturemath_tpu/utils/gt_editor.py",
     "annotation_editor": "lecturemath_tpu/utils/annotation_editor.py",
     "word_editor": "lecturemath_tpu/utils/word_editor.py",
+    "st3d_visualizer": "lecturemath_tpu/utils/st3d_visualizer.py",
 }
 
 
