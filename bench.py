@@ -788,7 +788,12 @@ def _wait_for_backend():
     subprocesses before degrading.
     """
     deadline_s = float(os.environ.get("LM_BENCH_PROBE_DEADLINE_S", "600"))
-    probe_timeout = min(75.0, deadline_s)
+    # per-attempt budget: a HEALTHY probe pays a fresh jax import + backend
+    # init + one compile through the remote-compile tunnel — 120 s default
+    # (the amount the cpu-path tests need on this 1-core VM), configurable
+    # for slower sessions so slowness is not misread as an outage
+    probe_timeout = min(
+        float(os.environ.get("LM_BENCH_PROBE_TIMEOUT_S", "120")), deadline_s)
     start = time.time()
     ok, err = _subprocess_probe(probe_timeout)
     while not ok:
@@ -800,6 +805,30 @@ def _wait_for_backend():
     return None if ok else err
 
 
+def _load_last_good():
+    try:
+        with open(LAST_GOOD_FILE) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _degraded_exit(error, note):
+    """Emit the parseable degraded headline and hard-exit (a hung backend
+    thread would otherwise keep the interpreter alive). stdout must be
+    flushed explicitly: the driver pipes stdout (block-buffered), and
+    os._exit skips the atexit/stdio flush."""
+    print(json.dumps({
+        "metric": "frames/sec/chip (binarize->CC->summary, 960x540)",
+        "value": None, "unit": "frames/sec", "vs_baseline": None,
+        "error": error,
+        "last_good": _load_last_good(),
+        "note": note,
+    }))
+    sys.stdout.flush()
+    os._exit(0)
+
+
 def main():
     # fail as data, not as a traceback: the driver records only the
     # stdout tail, so a down tunnel/backend must still yield a parseable
@@ -807,22 +836,10 @@ def main():
     # the artifact stays quantitative even through an outage.
     err = _wait_for_backend()
     if err is not None:
-        last_good = None
-        try:
-            with open(LAST_GOOD_FILE) as fh:
-                last_good = json.load(fh)
-        except (OSError, ValueError):
-            pass
-        print(json.dumps({
-            "metric": "frames/sec/chip (binarize->CC->summary, 960x540)",
-            "value": None, "unit": "frames/sec", "vs_baseline": None,
-            "error": err,
-            "last_good": last_good,
-            "note": "device backend unreachable for the whole probe "
-                    "window; last_good is the most recent successful "
-                    "headline (see also ROUND4.md / BENCH_TRAIN.json)",
-        }))
-        os._exit(0)
+        _degraded_exit(err, "device backend unreachable for the whole "
+                            "probe window; last_good is the most recent "
+                            "successful headline (see also ROUND4.md / "
+                            "BENCH_TRAIN.json)")
     # second belt: the backend can die between the subprocess probe and
     # this process's own init — guard the in-process init on a daemon
     # thread so a hang still yields a parseable line.
@@ -842,14 +859,10 @@ def main():
     thread.start()
     thread.join(timeout=300.0)
     if probe["err"] is not None:
-        print(json.dumps({
-            "metric": "frames/sec/chip (binarize->CC->summary, 960x540)",
-            "value": None, "unit": "frames/sec", "vs_baseline": None,
-            "error": probe["err"],
-            "note": "backend answered the subprocess probe but the "
-                    "in-process init failed/hung",
-        }))
-        os._exit(0)
+        _degraded_exit(probe["err"],
+                       "backend answered the subprocess probe but the "
+                       "in-process init failed/hung; last_good is the "
+                       "most recent successful headline")
     if "--train" in sys.argv:
         print(json.dumps(measure_training()))
         return

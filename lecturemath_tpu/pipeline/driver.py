@@ -170,11 +170,20 @@ class PipelineDriver:
         if requeue_age is not None:
             if queue_dir is None:
                 raise ValueError("-requeue requires -queue <dir>")
+            # a bare "-requeue" flag parses as True, and float(True) is
+            # 1.0 — which would silently recycle every live claim in a
+            # running fleet; non-positive ages are the same foot-gun
+            if requeue_age is True:
+                raise ValueError("-requeue requires a max claim age in "
+                                 "seconds (e.g. -requeue 7200)")
             try:
                 requeue_age = float(requeue_age)
             except (TypeError, ValueError):
                 raise ValueError("-requeue requires a max claim age in "
                                  "seconds (e.g. -requeue 7200)") from None
+            if requeue_age <= 0:
+                raise ValueError("-requeue age must be positive seconds "
+                                 f"(got {requeue_age})")
             from ..parallel.work_queue import requeue_stale
 
             recycled = requeue_stale(str(queue_dir), requeue_age)

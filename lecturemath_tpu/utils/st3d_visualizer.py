@@ -50,6 +50,11 @@ class ST3DVisualizerSession:
         self.st3d = st3d
         self.clean_frames = clean_frames
         self.lecture = lecture
+        # ThreadingHTTPServer handlers share the session: serialize cache
+        # mutation (same reason annotation_editor guards its frame cache)
+        import threading
+
+        self._cache_lock = threading.Lock()
         self._binary_cache: Dict[int, np.ndarray] = {}
 
     @classmethod
@@ -103,22 +108,26 @@ class ST3DVisualizerSession:
             raise ValueError(f"unknown mode <{mode}>; one of {MODES}")
         if mode == "stable":
             return st3d_frame_image(self.st3d, pos)
-        if mode == "reconstructed" and self.clean_frames is not None:
+        if mode == "reconstructed":
+            if self.clean_frames is None:
+                raise ValueError("no reconstructed frames loaded (stage-03 "
+                                 "CC_RECONSTRUCTED_OUTPUT artifact missing)")
             gray = self.clean_frames[pos]
         else:
             gray = self._rebuilt_binary(pos)
         return np.repeat(gray[:, :, None], 3, axis=2)
 
     def _rebuilt_binary(self, pos: int) -> np.ndarray:
-        if pos not in self._binary_cache:
-            from ..pipeline.cc_tracking import render_ccs
+        with self._cache_lock:
+            if pos not in self._binary_cache:
+                from ..pipeline.cc_tracking import render_ccs
 
-            self._binary_cache[pos] = render_ccs(
-                [cc for _, cc in self.tracker.cc_idx_per_frame[pos]],
-                self.tracker.height, self.tracker.width)
-            if len(self._binary_cache) > 32:    # bound memory on long lectures
-                self._binary_cache.pop(next(iter(self._binary_cache)))
-        return self._binary_cache[pos]
+                self._binary_cache[pos] = render_ccs(
+                    [cc for _, cc in self.tracker.cc_idx_per_frame[pos]],
+                    self.tracker.height, self.tracker.width)
+                if len(self._binary_cache) > 32:   # bound memory
+                    self._binary_cache.pop(next(iter(self._binary_cache)))
+            return self._binary_cache[pos]
 
     # -------------------------------------------------------------- queries
 
@@ -228,6 +237,11 @@ async function init() {
   scrub.max = S.n_samples - 1;
   const h = Math.round(640 * S.height / S.width);
   img.height = h; overlay.height = h;
+  if (!S.has_reconstructed) {
+    const b = document.querySelector('button.mode[data-m=reconstructed]');
+    b.disabled = true;
+    b.title = 'stage-03 reconstructed artifact not loaded';
+  }
   show();
 }
 function show() {

@@ -80,6 +80,33 @@ def test_frame_image_modes(session):
         session.frame_image(0, "nope")
 
 
+def test_reconstructed_mode_without_artifact_is_an_error(session):
+    """Serving the rebuilt binary labeled as the stage-03 reconstruction
+    would have the user debugging the wrong artifact — refuse instead."""
+    bare = ST3DVisualizerSession(session.frame_times, session.frame_indices,
+                                 session.tracker, session.st3d,
+                                 clean_frames=None)
+    assert not bare.state()["has_reconstructed"]
+    assert bare.frame_image(3, "binary").shape == (64, 96, 3)
+    with pytest.raises(ValueError, match="CC_RECONSTRUCTED_OUTPUT"):
+        bare.frame_image(3, "reconstructed")
+
+
+def test_concurrent_binary_renders(session):
+    """The binary-render cache is shared across HTTP handler threads."""
+    import concurrent.futures
+
+    fresh = ST3DVisualizerSession(session.frame_times, session.frame_indices,
+                                  session.tracker, session.st3d)
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        images = list(pool.map(
+            lambda pos: fresh.frame_image(pos % 20, "binary"),
+            range(200)))
+    rebuilt = session.tracker.rebuilt_binary_frames()
+    for pos, image in enumerate(images):
+        assert (image[:, :, 0] == rebuilt[pos % 20]).all()
+
+
 def test_query_cc_under_ink_pixel(session):
     pos = 8     # mid-era: glyphs are stable and grouped here
     uidx, cc, x, y = _ink_pixel(session, pos)

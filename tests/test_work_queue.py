@@ -149,6 +149,23 @@ def test_driver_queue_shard_exclusive(driver_workspace):
         list(driver.iter_lectures())
 
 
+def test_driver_requeue_rejects_bare_and_nonpositive(driver_workspace):
+    """A bare '-requeue' parses as True and float(True) == 1.0 — which
+    would recycle every live claim in a running fleet. Same for <= 0."""
+    queue = str(driver_workspace / "q2")
+    for bad_argv in (["-queue", queue, "-requeue"],
+                     ["-queue", queue, "-requeue", "-5"],
+                     ["-queue", queue, "-requeue", "0"],
+                     ["-queue", queue, "-requeue", "soon"]):
+        driver = _drive(driver_workspace, bad_argv)
+        with pytest.raises(ValueError, match="-requeue"):
+            list(driver.iter_lectures())
+    # requeue without a queue is also a usage error
+    driver = _drive(driver_workspace, ["-requeue", "3600"])
+    with pytest.raises(ValueError, match="-requeue requires -queue"):
+        list(driver.iter_lectures())
+
+
 def test_requeue_failed_release(tmp_path):
     """release(ok=False) keeps the failure visible but requeue_stale
     recycles it regardless of age (the documented recycle contract)."""
