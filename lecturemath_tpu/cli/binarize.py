@@ -36,6 +36,9 @@ def main(argv=None):
     if not usage_check(argv):
         return
 
+    from ..core.backend_probe import ensure_backend
+
+    ensure_backend()
     driver = PipelineDriver.from_config_path(argv[1], argv[2:], None,
                                              "BINARIZATION_OUTPUT")
     binarizer = Binarizer.from_config(

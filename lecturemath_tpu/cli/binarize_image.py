@@ -15,6 +15,7 @@ def main(argv=None):
     import cv2
     import jax.numpy as jnp
 
+    from ..core.backend_probe import ensure_backend
     from ..core.config import Config
     from ..pipeline.binarize import Binarizer
 
@@ -23,6 +24,7 @@ def main(argv=None):
         print(f"Usage: python {argv[0]} config model image [out_prefix]")
         return
 
+    ensure_backend()
     config = Config.from_file(argv[1])
     model_dir, model_file = os.path.split(argv[2])
     config.set("BINARIZATION_FCN_LECTURENET_DIR", model_dir or ".")

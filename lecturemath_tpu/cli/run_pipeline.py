@@ -18,6 +18,9 @@ def main(argv=None):
     if not usage_check(argv):
         return
 
+    from ..core.backend_probe import ensure_backend
+
+    ensure_backend()
     driver = PipelineDriver.from_config_path(argv[1], argv[2:], None, None)
     binarizer = Binarizer.from_config(
         driver.config, mesh=resolve_mesh(driver.params, driver.config))

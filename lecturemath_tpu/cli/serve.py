@@ -22,8 +22,11 @@ def main(argv=None):
               f"[-batch B] [-window MS]")
         return
 
+    from ..core.backend_probe import ensure_backend
     from ..pipeline.binarize import Binarizer
     from ..pipeline.server import BinarizeService, serve
+
+    ensure_backend()
 
     config = Config.from_file(argv[1])
     params = parse_cli_overrides(list(argv[2:]))

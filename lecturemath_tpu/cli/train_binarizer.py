@@ -48,6 +48,9 @@ def main(argv=None):
         print(f"Usage: python {argv[0]} config [dataset]")
         return
 
+    from ..core.backend_probe import ensure_backend
+
+    ensure_backend()
     config = Config.from_file(argv[1])
     dataset_name = (argv[2] if len(argv) > 2
                     and not argv[2].startswith("-") else "training")

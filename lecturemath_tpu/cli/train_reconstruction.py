@@ -19,6 +19,9 @@ def main(argv=None):
         print(f"Usage: python {argv[0]} config")
         return
 
+    from ..core.backend_probe import ensure_backend
+
+    ensure_backend()
     config = Config.from_file(argv[1])
     images = find_images(config.get_str("FCN_BINARIZER_PRETRAIN_REC_IMAGES_DIR"))
     print(f"Training reconstruction on {len(images)} images")

@@ -20,6 +20,9 @@ def main(argv=None):
         print(f"Usage: python {argv[0]} config")
         return
 
+    from ..core.backend_probe import ensure_backend
+
+    ensure_backend()
     config = Config.from_file(argv[1])
     images, masks = find_image_mask_pairs(
         config.get_str("FCN_BINARIZER_PRETRAIN_IMAGES_DIR"),

@@ -140,6 +140,9 @@ def main(argv=None):
         print("\tdataset: 0 - training, 1 - testing")
         return
 
+    from ..core.backend_probe import ensure_backend
+
+    ensure_backend()
     config = Config.from_file(argv[1])
     dataset_name = "training" if int(argv[3]) == 0 else "testing"
 
