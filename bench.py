@@ -829,6 +829,27 @@ def _degraded_exit(error, note):
     os._exit(0)
 
 
+def _arm_watchdog():
+    """Third belt: the backend can die MID-measurement — device_get then
+    hangs forever and the bench would produce no output at all. A daemon
+    timer emits the degraded headline and exits if the whole run exceeds
+    LM_BENCH_WALL_DEADLINE_S (default 2400 s — cold tunnel compiles run
+    minutes, measured runs seconds). Cancel() it once measurements are
+    done."""
+    import threading
+
+    deadline_s = float(os.environ.get("LM_BENCH_WALL_DEADLINE_S", "2400"))
+    timer = threading.Timer(
+        deadline_s, _degraded_exit,
+        args=(f"bench exceeded the {deadline_s:.0f}s wall deadline "
+              f"(backend died mid-run?)",
+              "measurements hung after a healthy init probe; last_good "
+              "is the most recent successful headline"))
+    timer.daemon = True
+    timer.start()
+    return timer
+
+
 def main():
     # fail as data, not as a traceback: the driver records only the
     # stdout tail, so a down tunnel/backend must still yield a parseable
@@ -863,14 +884,20 @@ def main():
                        "backend answered the subprocess probe but the "
                        "in-process init failed/hung; last_good is the "
                        "most recent successful headline")
+    watchdog = _arm_watchdog()
     if "--train" in sys.argv:
-        print(json.dumps(measure_training()))
+        result = measure_training()
+        watchdog.cancel()
+        print(json.dumps(result))
         return
     if "--serve" in sys.argv:
-        print(json.dumps(measure_serving()))
+        result = measure_serving()
+        watchdog.cancel()
+        print(json.dumps(result))
         return
     stage01_fps, full_fps = get_baseline_fps()
     ours_fps, extras = measure_ours()
+    watchdog.cancel()
     detail = {
         "metric": "frames/sec/chip (binarize->CC->summary, 960x540)",
         "value": round(ours_fps, 3),

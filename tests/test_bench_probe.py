@@ -58,6 +58,25 @@ def test_wait_for_backend_bounded_retry(bench, monkeypatch):
     assert bench._wait_for_backend() is None
 
 
+def test_watchdog_emits_degraded_headline(tmp_path):
+    """A backend dying mid-measurement must still yield a parseable
+    degraded line (the watchdog fires, prints, flushes, exits 0)."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               LM_BENCH_WALL_DEADLINE_S="0.3")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    code = ("import sys, time; sys.path.insert(0, %r); import bench; "
+            "bench._arm_watchdog(); time.sleep(60)" % REPO)
+    res = subprocess.run([_sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert res.returncode == 0
+    line = json.loads(res.stdout.strip().splitlines()[-1])
+    assert "wall deadline" in line["error"]
+    assert line["last_good"] and line["last_good"]["value"] > 0
+
+
 def test_last_good_record_is_valid_headline_json():
     """The committed seed record must parse and carry the headline keys the
     degraded path embeds (a malformed seed would silently drop to null)."""
