@@ -126,7 +126,7 @@ def conv7_hcw(x_padded: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                                        out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM, DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM, DMA'd
             pl.BlockSpec((k, n_pad, kc_pad), lambda b, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad), lambda b, r: (0, 0),
