@@ -139,6 +139,10 @@ def export_binary_video(store: ArtifactStore, binary_prefix: str,
         path = os.path.join(tmp_dir, f"{frame_idx}.png")
         if os.path.exists(path):
             os.remove(path)
+    try:
+        os.rmdir(tmp_dir)   # leave it if anything else landed there
+    except OSError:
+        pass
     return output_path
 
 

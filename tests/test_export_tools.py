@@ -148,6 +148,50 @@ def test_export_binary_video(tmp_path):
     capture.release()
 
 
+def test_export_video_cli(tmp_path):
+    """cli.export_video drives export_binary_video from a config workspace
+    (reads BINARIZATION_OUTPUT, writes the interpolated video)."""
+    import cv2
+
+    from lecturemath_tpu.cli import export_video as cli_mod
+
+    db = """<AccessMath><DataBase><Name>EVDB</Name>
+<OutputPaths><Temporal>temporal</Temporal><Images>images</Images>
+<Videos>videos</Videos><Annotations>annotations</Annotations>
+<Summaries>summaries</Summaries></OutputPaths>
+<Datasets><Testing><LectureTitle>lev01</LectureTitle></Testing></Datasets>
+<Lectures><Lecture><Id>lev01</Id><Title>lev01</Title><Parameters>
+</Parameters><Videos><Main><Video><Path>lev01.mp4</Path></Video></Main>
+</Videos></Lecture></Lectures></DataBase></AccessMath>"""
+    (tmp_path / "db.xml").write_text(db)
+    (tmp_path / "ev.conf").write_text(
+        f"VIDEO_DATABASE_PATH = {tmp_path}/db.xml\n"
+        f"OUTPUT_PATH = {tmp_path}/output\n"
+        "BINARIZATION_OUTPUT = tempo_binary_\n")
+
+    frames, _, _ = synthetic_lecture(seed=3, n_frames=4, height=48, width=64)
+    store = ArtifactStore(str(tmp_path / "output" / "temporal"))
+    store.save(([1000.0 * t for t in range(4)],
+                [10 * t for t in range(4)],
+                compress_png(list(frames))), "tempo_binary_", "lev01")
+
+    out_path = str(tmp_path / "binary.mp4")
+    cli_mod.main(["prog", str(tmp_path / "ev.conf"),
+                  "-l", "lev01", "-o", out_path, "-fps", "10"])
+    assert os.path.exists(out_path)
+    capture = cv2.VideoCapture(out_path)
+    assert int(capture.get(cv2.CAP_PROP_FRAME_COUNT)) == 31
+    capture.release()
+
+    # missing artifact names the fix
+    (tmp_path / "ev2.conf").write_text(
+        f"VIDEO_DATABASE_PATH = {tmp_path}/db.xml\n"
+        f"OUTPUT_PATH = {tmp_path}/empty_output\n"
+        "BINARIZATION_OUTPUT = tempo_binary_\n")
+    with pytest.raises(FileNotFoundError, match="cli.binarize"):
+        cli_mod.main(["prog", str(tmp_path / "ev2.conf"), "-l", "lev01"])
+
+
 def test_image_list_source_reference_index(tmp_path):
     import json
 
