@@ -62,7 +62,8 @@ class BinarizeService:
     def __init__(self, binarizer: Binarizer,
                  model_size: Tuple[int, int] = (960, 540),
                  max_batch: int = 8, batch_window_ms: float = 5.0,
-                 warmup: bool = True, binarizer_factory=None):
+                 warmup: bool = True, binarizer_factory=None,
+                 request_timeout_s: Optional[float] = None):
         self.binarizer = binarizer
         # optional callable (checkpoint_path_or_None) -> Binarizer, used
         # by reload_checkpoint to rebuild with fresh weights
@@ -80,6 +81,15 @@ class BinarizeService:
             bucket *= 2
         self.batch_buckets.append(self.max_batch)
         self.batch_window_s = float(batch_window_ms) / 1000.0
+        # per-request backstop AND the stuck-dispatch threshold: a device
+        # backend that dies mid-serving leaves the worker hung inside a
+        # dispatch — callers must not each wait the full backstop
+        import os as _os
+
+        self.request_timeout_s = float(
+            request_timeout_s if request_timeout_s is not None
+            else _os.environ.get("LM_SERVE_TIMEOUT_S", "600"))
+        self._dispatch_started: Optional[float] = None
         self._queue: "Queue[Optional[_WorkItem]]" = Queue()
         self._closed = False
         self._stats_lock = threading.Lock()
@@ -139,6 +149,14 @@ class BinarizeService:
             resized = rgb
         if self._closed:
             raise RuntimeError("BinarizeService is closed")
+        stuck_s = self.dispatch_stuck_s()
+        if stuck_s > self.request_timeout_s:
+            # the worker is wedged inside a device dispatch (backend died
+            # mid-serving) — fail NOW instead of queuing every caller into
+            # its own full-timeout wait
+            raise RuntimeError(
+                f"serving unhealthy: device dispatch stuck for "
+                f"{stuck_s:.0f} s (backend outage?)")
         item = _WorkItem(resized)
         self._queue.put(item)
         # re-check AFTER the put: close() may have set the flag and
@@ -149,9 +167,10 @@ class BinarizeService:
                 and not item.event.is_set():
             item.error = RuntimeError("BinarizeService is closed")
             item.event.set()
-        # generous backstop so a dying worker can never hang callers
-        if not item.event.wait(timeout=600.0):
-            raise RuntimeError("binarize request timed out (600 s)")
+        # backstop so a dying worker can never hang callers
+        if not item.event.wait(timeout=self.request_timeout_s):
+            raise RuntimeError(f"binarize request timed out "
+                               f"({self.request_timeout_s:.0f} s)")
         if item.error is not None:
             raise item.error
         binary = item.result
@@ -183,6 +202,19 @@ class BinarizeService:
         with self._stats_lock:
             self._stats["reloads"] += 1
         return {"ok": True, "checkpoint": checkpoint}
+
+    def dispatch_stuck_s(self) -> float:
+        """Seconds the worker has been inside the CURRENT device dispatch
+        (0.0 when idle/batching). Grows without bound when the backend
+        hangs mid-dispatch — the health signal."""
+        started = self._dispatch_started
+        return time.monotonic() - started if started is not None else 0.0
+
+    def health(self) -> dict:
+        stuck_s = self.dispatch_stuck_s()
+        return {"ok": not self._closed and stuck_s <= self.request_timeout_s,
+                "dispatch_stuck_s": round(stuck_s, 1),
+                "closed": self._closed}
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -259,6 +291,7 @@ class BinarizeService:
                     break
                 batch.append(extra)
             start = time.monotonic()
+            self._dispatch_started = start
             try:
                 # pad to the next batch bucket: only the warmed bucket
                 # shapes ever reach jit (no mid-serving recompiles)
@@ -272,6 +305,8 @@ class BinarizeService:
             except Exception as err:  # noqa: BLE001 — deliver to callers
                 for entry in batch:
                     entry.error = err
+            finally:
+                self._dispatch_started = None
             # stats BEFORE waking callers: a caller that returns and reads
             # stats() must see its own request counted
             latency_ms = (time.monotonic() - start) * 1e3
@@ -315,9 +350,11 @@ def make_handler(service: BinarizeService):
 
         def do_GET(self):
             if self.path.startswith("/healthz"):
-                self._json({"ok": True, "device": platform,
+                health = service.health()
+                self._json({**health, "device": platform,
                             "model_size": list(service.model_size),
-                            "max_batch": service.max_batch})
+                            "max_batch": service.max_batch},
+                           status=200 if health["ok"] else 503)
             elif self.path.startswith("/stats"):
                 self._json(service.stats())
             else:

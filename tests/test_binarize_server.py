@@ -3,6 +3,7 @@ requests, fixed model bucket (no per-request recompiles), HTTP contract."""
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -237,4 +238,64 @@ def test_hot_reload_under_concurrent_traffic(tmp_path):
         for out in results:                     # old XOR new, never a mix
             assert (out == old).all() or (out == new).all()
     finally:
+        service.close()
+
+
+def test_stuck_dispatch_fails_fast_and_flags_health():
+    """A backend dying mid-serving leaves the worker hung inside a device
+    dispatch; later callers must fail immediately (not each wait the full
+    backstop) and /healthz must report unhealthy."""
+    import time
+
+    import jax.numpy as jnp
+
+    model = FCNLectureNet(NET_CONFIG, dtype=jnp.float32)
+    variables = threshold_binarizer_variables(NET_CONFIG)
+    binarizer = Binarizer(model, variables, upload_format="rgb")
+    service = BinarizeService(binarizer, model_size=(64, 48), max_batch=2,
+                              batch_window_ms=1.0, warmup=False,
+                              request_timeout_s=0.5)
+    release = threading.Event()
+
+    def hung_dispatch(frames, active=None):
+        release.wait(30)
+        raise RuntimeError("backend died")
+
+    service._dispatch = hung_dispatch
+    try:
+        assert service.health()["ok"]
+        with pytest.raises(RuntimeError, match="timed out"):
+            service.binarize_rgb(_frame())      # first caller hits backstop
+
+        # worker is now wedged past the threshold: health flips...
+        deadline = time.monotonic() + 10
+        while service.health()["ok"] and time.monotonic() < deadline:
+            time.sleep(0.05)
+        health = service.health()
+        assert not health["ok"]
+        assert health["dispatch_stuck_s"] >= 0.5
+
+        # ...and new callers fail fast, well under the backstop
+        start = time.monotonic()
+        with pytest.raises(RuntimeError, match="stuck"):
+            service.binarize_rgb(_frame())
+        assert time.monotonic() - start < 0.3
+
+        # HTTP surface: /healthz answers 503 while wedged
+        server = serve(service, port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        host, port = server.server_address
+        try:
+            with pytest.raises(urllib.error.HTTPError) as excinfo:
+                urllib.request.urlopen(f"http://{host}:{port}/healthz",
+                                       timeout=10)
+            assert excinfo.value.code == 503
+            payload = json.loads(excinfo.value.read())
+            assert payload["ok"] is False
+        finally:
+            server.shutdown()
+            server.server_close()
+    finally:
+        release.set()                           # unwedge the worker
         service.close()
