@@ -42,7 +42,7 @@ def main(argv=None):
     session = ST3DVisualizerSession.from_artifacts(
         driver.store, lecture.id, stability_prefix, st3d_prefix,
         reconstructed_prefix, lecture=lecture.title)
-    server = serve(session, port=int(driver.params.get("port", 8766)))
+    server = serve(session, port=int(driver.params.get("port", 8768)))
     host, port = server.server_address
     print(f"ST3D visualizer for <{lecture.title}> at http://{host}:{port}/ "
           f"({session.n_samples} samples, "

@@ -46,7 +46,7 @@ def main(argv=None):
                                 f"one first (eval.gt_authoring.export_gt_tree)")
 
     editor = WordTierEditor(prefix)
-    server = serve(editor, port=int(params.get("port", 8766)))
+    server = serve(editor, port=int(params.get("port", 8767)))
     host, port = server.server_address
     print(f"Word/formula annotator for <{lecture}> at http://{host}:{port}/ "
           f"({len(editor.keyframes)} keyframes; Ctrl-C to stop)")
