@@ -13,7 +13,7 @@ CLI_MODULES = [
     "train_binarizer", "prepare_text_masks", "prepare_cocotext",
     "validate_dataset", "binarize_image", "vis_gt_intervals",
     "gt_editor", "annotation_editor", "run_pipeline", "serve",
-    "st3d_visualizer", "export_video",
+    "st3d_visualizer", "export_video", "doctor",
 ]
 
 
