@@ -18,6 +18,10 @@ def main(argv=None):
     driver = PipelineDriver.from_config_path(argv[1], argv[2:],
                                              "BINARIZATION_OUTPUT",
                                              "CC_STABILITY_OUTPUT")
+    if driver.config.get_bool("CC_ANALYSIS_DEVICE_LABELING", False):
+        from ..core.backend_probe import ensure_backend
+
+        ensure_backend()    # this mode touches the device
     driver.run(stage02_cc_analysis)
     print("Finished")
 

@@ -38,11 +38,17 @@ class _Report:
 def _check_backend():
     from ..core.backend_probe import ensure_backend
 
-    timeout_s = float(os.environ.get("LM_DEVICE_PROBE_TIMEOUT_S", "60"))
-    ensure_backend(timeout_s)
+    timeout_s = float(os.environ.get("LM_DEVICE_PROBE_TIMEOUT_S", "120"))
+    if timeout_s <= 0 or os.environ.get("LM_COORDINATOR"):
+        # the probe is opted out / deferred to distributed init — do NOT
+        # call jax.devices() unbounded here; the diagnostic must never
+        # hang on the very failure mode it exists to name
+        return ("probe skipped (LM_DEVICE_PROBE_TIMEOUT_S=0 or "
+                "multi-host LM_COORDINATOR set)")
+    ensure_backend(timeout_s)   # same default as the device CLIs
     import jax
 
-    devices = jax.devices()
+    devices = jax.devices()     # warm after the probe: bounded
     return f"{len(devices)}x {devices[0].device_kind or devices[0].platform}"
 
 
@@ -156,8 +162,10 @@ def main(argv=None):
         report.check("config parses", _config)
         if "config" in state:
             report.check("lecture database", _database)
-        if "database" in state:
-            report.check("video inputs", _videos, warn_only=True)
+            if "database" in state:
+                report.check("video inputs", _videos, warn_only=True)
+            # these need only the parsed config — report them even when
+            # the database check failed (one-shot diagnostics)
             report.check("model checkpoint", _checkpoint)
             report.check("output tree", _output)
     else:

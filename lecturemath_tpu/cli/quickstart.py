@@ -151,7 +151,12 @@ def build_workspace(root: str, n_samples: int = 40, height: int = 96,
 
 
 def main(argv=None):
+    from ..core.backend_probe import ensure_backend
+
     argv = sys.argv if argv is None else argv
+    # probe BEFORE the workspace build: the tiny-checkpoint synth is the
+    # first device touch and would otherwise hang on a dead backend
+    ensure_backend()
     root = os.path.abspath(argv[1] if len(argv) > 1
                            else "lecturemath_quickstart")
     conf_path = build_workspace(root)

@@ -36,6 +36,12 @@ def ensure_backend(timeout_s: float = None) -> None:
     <= 0 skips the probe entirely). On success the backend is warm and
     every later jax call proceeds as usual.
     """
+    if os.environ.get("LM_COORDINATOR"):
+        # multi-host contract: jax.distributed.initialize() must run
+        # BEFORE anything (including this probe's jax.devices()) touches
+        # the XLA backend, or it raises. The distributed join has its own
+        # coordination timeouts; skip the single-host probe entirely.
+        return
     if timeout_s is None:
         timeout_s = float(os.environ.get("LM_DEVICE_PROBE_TIMEOUT_S", "120"))
     if timeout_s <= 0:

@@ -37,6 +37,19 @@ def test_hanging_backend_times_out(monkeypatch):
     assert time.time() - start < 5      # bounded, not the full sleep
 
 
+def test_multihost_contract_skips_the_probe(monkeypatch):
+    """jax.distributed.initialize() must run before ANY backend touch —
+    when the LM_COORDINATOR contract is set the probe must not call
+    jax.devices() at all, or every multi-host CLI run would crash in the
+    distributed join."""
+    def boom():
+        raise RuntimeError("probe must not touch the backend")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    monkeypatch.setenv("LM_COORDINATOR", "127.0.0.1:9999")
+    ensure_backend(timeout_s=5)     # returns without touching jax
+
+
 def test_probe_opt_out(monkeypatch):
     def boom():
         raise RuntimeError("should never be called")

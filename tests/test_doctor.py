@@ -70,6 +70,38 @@ def test_doctor_missing_checkpoint_fails(tmp_path, capsys):
     assert "[FAIL] model checkpoint" in capsys.readouterr().out
 
 
+def test_doctor_bad_database_still_reports_config_scoped_checks(tmp_path,
+                                                                capsys):
+    """One-shot diagnostics: a failed database check must not hide the
+    checkpoint/output checks (they only need the parsed config)."""
+    from lecturemath_tpu.cli.doctor import main
+
+    conf = tmp_path / "bad.conf"
+    conf.write_text("VIDEO_DATABASE_PATH = /nope/db.xml\n"
+                    f"OUTPUT_PATH = {tmp_path}/out\n")
+    assert main(["prog", str(conf)]) == 1
+    out = capsys.readouterr().out
+    assert "[FAIL] lecture database" in out
+    assert "[FAIL] model checkpoint" in out     # still reported
+    assert "[PASS] output tree" in out
+
+
+def test_doctor_probe_opt_out_never_touches_devices(monkeypatch, capsys):
+    """With the probe opted out the doctor must not call jax.devices()
+    unbounded — it would hang on exactly the outage it exists to name."""
+    import jax
+
+    def boom():
+        raise AssertionError("doctor must not touch the backend")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    monkeypatch.setenv("LM_DEVICE_PROBE_TIMEOUT_S", "0")
+    from lecturemath_tpu.cli.doctor import main
+
+    assert main(["prog"]) == 0
+    assert "probe skipped" in capsys.readouterr().out
+
+
 def test_doctor_environment_only(capsys):
     from lecturemath_tpu.cli.doctor import main
 
