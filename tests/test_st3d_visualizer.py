@@ -138,6 +138,27 @@ def test_query_out_of_range(session):
         session.query(99, 0, 0)
 
 
+def test_query_consistent_with_rendered_views(session):
+    """Property: every ink pixel of the rendered binary view must query
+    to a CC containing it, and every ink pixel of the stable-group view
+    to a group whose box contains it (sampled grid, several frames)."""
+    for pos in (2, 8, 14, 19):
+        binary = session.frame_image(pos, "binary")[:, :, 0]
+        stable = session.frame_image(pos, "stable")[:, :, 0]
+        ys, xs = np.nonzero(binary)
+        for y, x in list(zip(ys.tolist(), xs.tolist()))[::37]:
+            result = session.query(pos, x, y)
+            assert result["cc"] is not None, (pos, x, y)
+            box = result["cc"]["box"]
+            assert box[0] <= x <= box[2] and box[1] <= y <= box[3]
+        ys, xs = np.nonzero(stable)
+        for y, x in list(zip(ys.tolist(), xs.tolist()))[::41]:
+            result = session.query(pos, x, y)
+            assert result["group"] is not None, (pos, x, y)
+            gbox = result["group"]["box"]
+            assert gbox[0] <= x <= gbox[2] and gbox[1] <= y <= gbox[3]
+
+
 def test_http_surface(session):
     server = serve(session, port=0)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
