@@ -45,6 +45,9 @@ def main(argv=None):
         driver.config, mesh=resolve_mesh(driver.params, driver.config))
     driver.run(lambda d, lecture, inputs:
                stage01_binarize(d, lecture, inputs, binarizer))
+    from ..parallel.mesh import shutdown_distributed
+
+    shutdown_distributed()  # barrier + clean exit on multi-process meshes
     print("Finished")
 
 

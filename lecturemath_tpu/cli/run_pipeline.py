@@ -32,6 +32,9 @@ def main(argv=None):
                 driver, lecture, binarizer, save_artifacts=save_artifacts)
         print(f"{lecture.title}: {len(keyframes)} keyframes in "
               f"{driver.timer.totals[lecture.title]:.2f}s")
+    from ..parallel.mesh import shutdown_distributed
+
+    shutdown_distributed()  # barrier + clean exit on multi-process meshes
     print("Finished")
 
 

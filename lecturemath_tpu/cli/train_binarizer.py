@@ -82,6 +82,9 @@ def main(argv=None):
                     warm_start_is_reconstruction=from_reconstruction,
                     mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
                                              config))
+    from ..parallel.mesh import shutdown_distributed
+
+    shutdown_distributed()  # clean exit on multi-process meshes
     print(f"Saved: {out}")
 
 

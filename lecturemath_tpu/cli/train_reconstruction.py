@@ -36,6 +36,9 @@ def main(argv=None):
     out = run_phase(config, "reconstruction", dataset,
                     mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
                                              config))
+    from ..parallel.mesh import shutdown_distributed
+
+    shutdown_distributed()  # clean exit on multi-process meshes
     print(f"Saved: {out}")
 
 

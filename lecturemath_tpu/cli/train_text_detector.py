@@ -52,6 +52,9 @@ def main(argv=None):
                     warm_start_is_reconstruction=True,
                     mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
                                              config))
+    from ..parallel.mesh import shutdown_distributed
+
+    shutdown_distributed()  # clean exit on multi-process meshes
     print(f"Saved: {out}")
 
 

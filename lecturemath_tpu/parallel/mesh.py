@@ -273,3 +273,22 @@ def initialize_distributed_from_env() -> bool:
         num_processes=int(os.environ["LM_NUM_PROCESSES"]),
         process_id=int(os.environ["LM_PROCESS_ID"]))
     return True
+
+
+def shutdown_distributed() -> bool:
+    """Cleanly leave a multi-process mesh: barrier all hosts, then shut
+    the distributed client down. No-op (False) when not running
+    multi-process.
+
+    Without the barrier, hosts that finish at different times (lecture
+    skew, compile skew) hit the distributed service's ~30 s shutdown
+    deadline and die with a barrier timeout — observed on this rig. Every
+    CLI that joins via initialize_distributed_from_env calls this on the
+    way out."""
+    if not jax.distributed.is_initialized():
+        return False
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("lm_cli_done")
+    jax.distributed.shutdown()
+    return True

@@ -130,3 +130,69 @@ def test_sharded_inference_matches_single_process(worker_results,
     np.testing.assert_array_equal(worker_results[0]["binary"], ref)
     np.testing.assert_array_equal(worker_results[1]["binary"], ref)
     assert (ref == 0).any() and (ref == 255).any()  # real binarized content
+
+
+def test_cli_binarize_across_process_boundary(tmp_path):
+    """The REAL stage-01 CLI on a 2-process mesh: both hosts run
+    `cli.binarize -mesh 4x2` under the LM_COORDINATOR contract and must
+    (a) not trip the backend probe (jax.distributed.initialize must be
+    the first backend touch), (b) produce the stage artifact, (c) match
+    the single-process CLI run bit-for-bit, and (d) part the mesh through
+    the shutdown barrier cleanly."""
+    import cv2
+
+    from lecturemath_tpu.core.artifacts import ArtifactStore
+    from lecturemath_tpu.pipeline.video import decompress_png
+    from cli_workspace import build_cli_workspace
+
+    root = build_cli_workspace(tmp_path)
+    conf = str(root / "test.conf")
+
+    port = _free_port()
+    procs = []
+    for proc_id in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update({
+            "LM_COORDINATOR": f"localhost:{port}",
+            "LM_NUM_PROCESSES": "2",
+            "LM_PROCESS_ID": str(proc_id),
+            "LM_CONF": conf,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_mp_compile_cache",
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "mp_cli_worker.py")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outputs = []
+    deadline = time.time() + 480
+    for proc in procs:
+        try:
+            stdout, _ = proc.communicate(
+                timeout=max(10, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            raise
+        outputs.append(stdout)
+    for proc, stdout in zip(procs, outputs):
+        assert proc.returncode == 0, f"CLI worker failed:\n{stdout[-3000:]}"
+        assert "WORKER_DONE" in stdout
+
+    store = ArtifactStore(str(root / "output" / "temporal"))
+    times, indices, compressed = store.load("tempo_binary_", "synth01")
+    mesh_frames = decompress_png(compressed)
+    assert len(mesh_frames) == 8
+
+    # single-process CLI reference (no mesh), same workspace
+    from lecturemath_tpu.cli.binarize import main as binarize_main
+
+    single_root = build_cli_workspace(tmp_path, name="single")
+    binarize_main(["binarize", str(single_root / "test.conf")])
+    ref_store = ArtifactStore(str(single_root / "output" / "temporal"))
+    _, _, ref_compressed = ref_store.load("tempo_binary_", "synth01")
+    for a, b in zip(decompress_png(ref_compressed), mesh_frames):
+        np.testing.assert_array_equal(a, b)
