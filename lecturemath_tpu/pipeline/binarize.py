@@ -230,7 +230,14 @@ class Binarizer:
         output is all-gathered to a fully-replicated layout first (the
         packed binary is ~HW/8 bytes per frame, so replication is cheap),
         and EVERY host receives all frames — the host-side stages
-        (tracking, artifacts, export) then proceed identically on each."""
+        (tracking, artifacts, export) then proceed identically on each.
+
+        Bounded: a backend dying MID-RUN leaves device_get hung forever
+        (observed mid-round outages); the get runs on a daemon thread with
+        a generous deadline (LM_FETCH_TIMEOUT_S, default 900 s — the first
+        fetch pays the full compile, minutes through a remote-compile
+        tunnel; 0 disables) and raises an actionable error instead of
+        silently stalling the lecture run."""
         if jax.process_count() > 1 and not array.is_fully_addressable:
             if self._replicate_fn is None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -239,7 +246,34 @@ class Binarizer:
                     lambda x: x,
                     out_shardings=NamedSharding(self.mesh, P()))
             array = self._replicate_fn(array)
-        return np.asarray(jax.device_get(array))
+        import os
+
+        timeout_s = float(os.environ.get("LM_FETCH_TIMEOUT_S", "900"))
+        if timeout_s <= 0:
+            return np.asarray(jax.device_get(array))
+        import threading
+
+        result = {}
+
+        def _get():
+            try:
+                result["value"] = jax.device_get(array)
+            except Exception as err:    # noqa: BLE001 — re-raised below
+                result["error"] = err
+
+        thread = threading.Thread(target=_get, daemon=True)
+        thread.start()
+        thread.join(timeout=timeout_s)
+        if "value" in result:
+            return np.asarray(result["value"])
+        if "error" in result:
+            raise result["error"]
+        from ..core.backend_probe import BackendUnavailable
+
+        raise BackendUnavailable(
+            f"device fetch hung for {timeout_s:.0f} s (backend died "
+            f"mid-run?) — re-run this stage when the backend recovers, or "
+            f"set LM_FETCH_TIMEOUT_S to adjust/disable this deadline")
 
     def binarize_frames(self, frames: np.ndarray) -> np.ndarray:
         """uint8 RGB [B, H, W, 3] -> uint8 binary [B, H, W] in the raw model
