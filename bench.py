@@ -862,25 +862,18 @@ def main():
                             "successful headline (see also ROUND4.md / "
                             "BENCH_TRAIN.json)")
     # second belt: the backend can die between the subprocess probe and
-    # this process's own init — guard the in-process init on a daemon
-    # thread so a hang still yields a parseable line.
-    import threading
+    # this process's own init — guard the in-process init with a deadline
+    # so a hang still yields a parseable line.
+    from lecturemath_tpu.core.backend_probe import call_with_deadline
 
-    probe = {"err": "device probe timed out after 300 s (backend hang)"}
+    def _init():
+        jax.devices()
+        jax.device_get(jax.numpy.zeros(()) + 1.0)
 
-    def _probe():
-        try:
-            jax.devices()
-            jax.device_get(jax.numpy.zeros(()) + 1.0)
-            probe["err"] = None
-        except Exception as e:  # noqa: BLE001
-            probe["err"] = f"device backend unavailable: {e}"
-
-    thread = threading.Thread(target=_probe, daemon=True)
-    thread.start()
-    thread.join(timeout=300.0)
-    if probe["err"] is not None:
-        _degraded_exit(probe["err"],
+    try:
+        call_with_deadline(_init, 300.0, "in-process backend init")
+    except Exception as e:  # noqa: BLE001
+        _degraded_exit(f"device backend unavailable: {e}",
                        "backend answered the subprocess probe but the "
                        "in-process init failed/hung; last_good is the "
                        "most recent successful headline")

@@ -41,13 +41,17 @@ def main(argv=None):
     ensure_backend()
     driver = PipelineDriver.from_config_path(argv[1], argv[2:], None,
                                              "BINARIZATION_OUTPUT")
-    binarizer = Binarizer.from_config(
-        driver.config, mesh=resolve_mesh(driver.params, driver.config))
-    driver.run(lambda d, lecture, inputs:
-               stage01_binarize(d, lecture, inputs, binarizer))
     from ..parallel.mesh import shutdown_distributed
 
-    shutdown_distributed()  # barrier + clean exit on multi-process meshes
+    # finally: a host that dies mid-run must still join the shutdown
+    # barrier, or its peers trip the ~30 s shutdown deadline
+    try:
+        binarizer = Binarizer.from_config(
+            driver.config, mesh=resolve_mesh(driver.params, driver.config))
+        driver.run(lambda d, lecture, inputs:
+                   stage01_binarize(d, lecture, inputs, binarizer))
+    finally:
+        shutdown_distributed()
     print("Finished")
 
 

@@ -22,19 +22,24 @@ def main(argv=None):
 
     ensure_backend()
     driver = PipelineDriver.from_config_path(argv[1], argv[2:], None, None)
-    binarizer = Binarizer.from_config(
-        driver.config, mesh=resolve_mesh(driver.params, driver.config))
-    save_artifacts = str(driver.params.get("save", "0")) == "1"
-
-    for lecture in driver.iter_lectures():
-        with driver.timer.measure(lecture.title):
-            indices, times, keyframes = run_lecture(
-                driver, lecture, binarizer, save_artifacts=save_artifacts)
-        print(f"{lecture.title}: {len(keyframes)} keyframes in "
-              f"{driver.timer.totals[lecture.title]:.2f}s")
     from ..parallel.mesh import shutdown_distributed
 
-    shutdown_distributed()  # barrier + clean exit on multi-process meshes
+    # finally: a host that dies mid-run must still join the shutdown
+    # barrier, or its peers trip the ~30 s shutdown deadline
+    try:
+        binarizer = Binarizer.from_config(
+            driver.config, mesh=resolve_mesh(driver.params, driver.config))
+        save_artifacts = str(driver.params.get("save", "0")) == "1"
+
+        for lecture in driver.iter_lectures():
+            with driver.timer.measure(lecture.title):
+                indices, times, keyframes = run_lecture(
+                    driver, lecture, binarizer,
+                    save_artifacts=save_artifacts)
+            print(f"{lecture.title}: {len(keyframes)} keyframes in "
+                  f"{driver.timer.totals[lecture.title]:.2f}s")
+    finally:
+        shutdown_distributed()
     print("Finished")
 
 

@@ -78,13 +78,17 @@ def main(argv=None):
         from_reconstruction = config.get_bool(
             "FCN_BINARIZER_TRAIN_FROM_RECONSTRUCTION_PRETRAIN", False)
 
-    out = run_phase(config, "binarizer", dataset, warm_start_path=warm_start,
-                    warm_start_is_reconstruction=from_reconstruction,
-                    mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
-                                             config))
     from ..parallel.mesh import shutdown_distributed
 
-    shutdown_distributed()  # clean exit on multi-process meshes
+    # finally: a host that dies mid-phase must still join the
+    # shutdown barrier, or its peers trip the ~30 s deadline
+    try:
+        out = run_phase(config, "binarizer", dataset, warm_start_path=warm_start,
+                        warm_start_is_reconstruction=from_reconstruction,
+                        mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
+                                                 config))
+    finally:
+        shutdown_distributed()
     print(f"Saved: {out}")
 
 

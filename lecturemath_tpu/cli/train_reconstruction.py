@@ -33,12 +33,16 @@ def main(argv=None):
     if config.get_bool("FCN_BINARIZER_PRETRAIN_PRELOAD_IMAGES", False):
         dataset.preload(verbose=True)
 
-    out = run_phase(config, "reconstruction", dataset,
-                    mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
-                                             config))
     from ..parallel.mesh import shutdown_distributed
 
-    shutdown_distributed()  # clean exit on multi-process meshes
+    # finally: a host that dies mid-phase must still join the
+    # shutdown barrier, or its peers trip the ~30 s deadline
+    try:
+        out = run_phase(config, "reconstruction", dataset,
+                        mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
+                                                 config))
+    finally:
+        shutdown_distributed()
     print(f"Saved: {out}")
 
 

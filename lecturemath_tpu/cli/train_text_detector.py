@@ -47,14 +47,18 @@ def main(argv=None):
             config.get_str("OUTPUT_PATH"),
             config.get_str("FCN_BINARIZER_PRETRAIN_RECONSTRUCTION_OUTPUT"))
 
-    out = run_phase(config, "text_detector", dataset,
-                    warm_start_path=warm_start,
-                    warm_start_is_reconstruction=True,
-                    mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
-                                             config))
     from ..parallel.mesh import shutdown_distributed
 
-    shutdown_distributed()  # clean exit on multi-process meshes
+    # finally: a host that dies mid-phase must still join the
+    # shutdown barrier, or its peers trip the ~30 s deadline
+    try:
+        out = run_phase(config, "text_detector", dataset,
+                        warm_start_path=warm_start,
+                        warm_start_is_reconstruction=True,
+                        mesh_spec=mesh_spec_from(parse_cli_overrides(argv[2:]),
+                                                 config))
+    finally:
+        shutdown_distributed()
     print(f"Saved: {out}")
 
 

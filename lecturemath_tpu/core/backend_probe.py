@@ -28,6 +28,34 @@ class BackendUnavailable(RuntimeError):
     """Device backend failed to initialize within the probe deadline."""
 
 
+def call_with_deadline(fn, timeout_s: float, description: str):
+    """Run ``fn()`` on a daemon thread with a deadline.
+
+    Returns fn's value; re-raises fn's exception; raises
+    BackendUnavailable("<description> still hanging after N s") when the
+    deadline passes. The single home of the probe idiom — a hung backend
+    call cannot be interrupted, only abandoned (the daemon thread dies
+    with the process)."""
+    result = {}
+
+    def _run():
+        try:
+            result["value"] = fn()
+        except Exception as err:    # noqa: BLE001 — re-raised below
+            result["error"] = err
+
+    thread = threading.Thread(target=_run, daemon=True,
+                              name="lm-deadline-call")
+    thread.start()
+    thread.join(timeout=timeout_s)
+    if "value" in result:
+        return result["value"]
+    if "error" in result:
+        raise result["error"]
+    raise BackendUnavailable(
+        f"{description} still hanging after {timeout_s:.0f} s")
+
+
 def ensure_backend(timeout_s: float = None) -> None:
     """Initialize the jax backend, bounded by a deadline.
 
@@ -47,26 +75,17 @@ def ensure_backend(timeout_s: float = None) -> None:
     if timeout_s <= 0:
         return
 
-    result = {}
-
     def _probe():
-        try:
-            import jax
+        import jax
 
-            jax.devices()
-            result["ok"] = True
-        except Exception as err:    # noqa: BLE001 — reported, not dropped
-            result["err"] = err
+        jax.devices()
 
-    thread = threading.Thread(target=_probe, daemon=True, name="lm-backend-probe")
-    thread.start()
-    thread.join(timeout=timeout_s)
-    if result.get("ok"):
-        return
-    if "err" in result:
+    try:
+        call_with_deadline(_probe, timeout_s, "device backend init")
+    except BackendUnavailable as err:
+        raise BackendUnavailable(f"{err} (tunnel outage?) — {_HINT}") \
+            from None
+    except Exception as err:    # noqa: BLE001 — reported, not dropped
         raise BackendUnavailable(
-            f"device backend failed to initialize: {result['err']} — "
-            f"{_HINT}") from result["err"]
-    raise BackendUnavailable(
-        f"device backend init still hanging after {timeout_s:.0f} s "
-        f"(tunnel outage?) — {_HINT}")
+            f"device backend failed to initialize: {err} — {_HINT}") \
+            from err

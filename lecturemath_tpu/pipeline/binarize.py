@@ -251,29 +251,19 @@ class Binarizer:
         timeout_s = float(os.environ.get("LM_FETCH_TIMEOUT_S", "900"))
         if timeout_s <= 0:
             return np.asarray(jax.device_get(array))
-        import threading
+        from ..core.backend_probe import (BackendUnavailable,
+                                          call_with_deadline)
 
-        result = {}
-
-        def _get():
-            try:
-                result["value"] = jax.device_get(array)
-            except Exception as err:    # noqa: BLE001 — re-raised below
-                result["error"] = err
-
-        thread = threading.Thread(target=_get, daemon=True)
-        thread.start()
-        thread.join(timeout=timeout_s)
-        if "value" in result:
-            return np.asarray(result["value"])
-        if "error" in result:
-            raise result["error"]
-        from ..core.backend_probe import BackendUnavailable
-
-        raise BackendUnavailable(
-            f"device fetch hung for {timeout_s:.0f} s (backend died "
-            f"mid-run?) — re-run this stage when the backend recovers, or "
-            f"set LM_FETCH_TIMEOUT_S to adjust/disable this deadline")
+        try:
+            value = call_with_deadline(lambda: jax.device_get(array),
+                                       timeout_s, "device fetch")
+        except BackendUnavailable:
+            raise BackendUnavailable(
+                f"device fetch hung for {timeout_s:.0f} s (backend died "
+                f"mid-run?) — re-run this stage when the backend recovers, "
+                f"or set LM_FETCH_TIMEOUT_S to adjust/disable this "
+                f"deadline") from None
+        return np.asarray(value)
 
     def binarize_frames(self, frames: np.ndarray) -> np.ndarray:
         """uint8 RGB [B, H, W, 3] -> uint8 binary [B, H, W] in the raw model

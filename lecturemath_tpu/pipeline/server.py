@@ -90,6 +90,11 @@ class BinarizeService:
             request_timeout_s if request_timeout_s is not None
             else _os.environ.get("LM_SERVE_TIMEOUT_S", "600"))
         self._dispatch_started: Optional[float] = None
+        # latched when a dispatch dies of backend death (the bounded
+        # fetch raising BackendUnavailable): without the latch, health
+        # would flap back to ok between failed dispatches on a dead
+        # backend. Cleared by the next SUCCESSFUL dispatch or reload.
+        self._backend_dead: Optional[str] = None
         self._queue: "Queue[Optional[_WorkItem]]" = Queue()
         self._closed = False
         self._stats_lock = threading.Lock()
@@ -149,6 +154,9 @@ class BinarizeService:
             resized = rgb
         if self._closed:
             raise RuntimeError("BinarizeService is closed")
+        if self._backend_dead is not None:
+            raise RuntimeError(
+                f"serving unhealthy: {self._backend_dead}")
         stuck_s = self.dispatch_stuck_s()
         if stuck_s > self.request_timeout_s:
             # the worker is wedged inside a device dispatch (backend died
@@ -199,6 +207,7 @@ class BinarizeService:
             self._warm(active)
             self._active = active
             self.binarizer = new_binarizer
+            self._backend_dead = None   # warm succeeded: backend alive
         with self._stats_lock:
             self._stats["reloads"] += 1
         return {"ok": True, "checkpoint": checkpoint}
@@ -212,8 +221,11 @@ class BinarizeService:
 
     def health(self) -> dict:
         stuck_s = self.dispatch_stuck_s()
-        return {"ok": not self._closed and stuck_s <= self.request_timeout_s,
+        return {"ok": (not self._closed
+                       and stuck_s <= self.request_timeout_s
+                       and self._backend_dead is None),
                 "dispatch_stuck_s": round(stuck_s, 1),
+                "backend_dead": self._backend_dead,
                 "closed": self._closed}
 
     def stats(self) -> dict:
@@ -302,7 +314,12 @@ class BinarizeService:
                 binaries = self._dispatch(frames)
                 for entry, binary in zip(batch, binaries):
                     entry.result = np.asarray(binary)
+                self._backend_dead = None   # proof of life: un-latch
             except Exception as err:  # noqa: BLE001 — deliver to callers
+                from ..core.backend_probe import BackendUnavailable
+
+                if isinstance(err, BackendUnavailable):
+                    self._backend_dead = str(err)
                 for entry in batch:
                     entry.error = err
             finally:

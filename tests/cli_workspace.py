@@ -2,9 +2,6 @@
 tiny-width config, random-init checkpoint. Used by the CLI mesh tests
 (single-process and 2-process)."""
 
-import os
-
-
 def build_cli_workspace(tmp_path, name="mesh", n_frames=8):
     import cv2
     import jax

@@ -299,3 +299,51 @@ def test_stuck_dispatch_fails_fast_and_flags_health():
     finally:
         release.set()                           # unwedge the worker
         service.close()
+
+
+def test_backend_death_latches_unhealthy_until_recovery():
+    """A dispatch dying of backend death (bounded fetch) must LATCH the
+    service unhealthy — no flapping back to ok between failed dispatches
+    — and a later successful dispatch un-latches it."""
+    import jax.numpy as jnp
+
+    from lecturemath_tpu.core.backend_probe import BackendUnavailable
+
+    model = FCNLectureNet(NET_CONFIG, dtype=jnp.float32)
+    variables = threshold_binarizer_variables(NET_CONFIG)
+    binarizer = Binarizer(model, variables, upload_format="rgb")
+    service = BinarizeService(binarizer, model_size=(64, 48), max_batch=2,
+                              batch_window_ms=1.0, warmup=False,
+                              request_timeout_s=30)
+    real_dispatch = service._dispatch
+    dead = {"on": True}
+
+    def dispatch(frames, active=None):
+        if dead["on"]:
+            raise BackendUnavailable("device fetch hung for 1 s")
+        return real_dispatch(frames, active)
+
+    service._dispatch = dispatch
+    try:
+        with pytest.raises(BackendUnavailable):
+            service.binarize_rgb(_frame())
+        health = service.health()
+        assert not health["ok"] and "fetch hung" in health["backend_dead"]
+        # latched: new callers fail fast even though no dispatch is
+        # in flight (stuck_s == 0)
+        with pytest.raises(RuntimeError, match="unhealthy"):
+            service.binarize_rgb(_frame())
+
+        dead["on"] = False          # backend recovers
+        # enqueue directly (binarize_rgb fails fast while latched; the
+        # worker's next successful dispatch is what un-latches)
+        import numpy as _np
+        item = service._queue.put
+        from lecturemath_tpu.pipeline.server import _WorkItem
+        work = _WorkItem(_np.asarray(_frame()))
+        item(work)
+        assert work.event.wait(60) and work.error is None
+        assert service.health()["ok"]
+        assert service.binarize_rgb(_frame()).shape == (48, 64)
+    finally:
+        service.close()

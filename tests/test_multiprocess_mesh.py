@@ -139,8 +139,6 @@ def test_cli_binarize_across_process_boundary(tmp_path):
     the first backend touch), (b) produce the stage artifact, (c) match
     the single-process CLI run bit-for-bit, and (d) part the mesh through
     the shutdown barrier cleanly."""
-    import cv2
-
     from lecturemath_tpu.core.artifacts import ArtifactStore
     from lecturemath_tpu.pipeline.video import decompress_png
     from cli_workspace import build_cli_workspace
@@ -194,5 +192,7 @@ def test_cli_binarize_across_process_boundary(tmp_path):
     binarize_main(["binarize", str(single_root / "test.conf")])
     ref_store = ArtifactStore(str(single_root / "output" / "temporal"))
     _, _, ref_compressed = ref_store.load("tempo_binary_", "synth01")
-    for a, b in zip(decompress_png(ref_compressed), mesh_frames):
+    ref_frames = decompress_png(ref_compressed)
+    assert len(ref_frames) == len(mesh_frames) == 8   # no vacuous zip
+    for a, b in zip(ref_frames, mesh_frames):
         np.testing.assert_array_equal(a, b)
