@@ -37,3 +37,18 @@ def test_usage_output(capsys):
     cc_analysis.main(["prog"])
     out = capsys.readouterr().out
     assert "Usage" in out
+
+
+def test_console_script_entry_points_resolve():
+    """Every [project.scripts] target in pyproject.toml must import and be
+    callable (a rename would break installed console scripts silently)."""
+    import re
+
+    pyproject = open(os.path.join(os.path.dirname(__file__), "..",
+                                  "pyproject.toml")).read()
+    targets = re.findall(r'^\S+ = "(lecturemath_tpu[\w.]+):(\w+)"',
+                         pyproject, re.M)
+    assert len(targets) >= 10
+    for module_name, attr in targets:
+        module = importlib.import_module(module_name)
+        assert callable(getattr(module, attr)), (module_name, attr)
