@@ -55,7 +55,7 @@ def train_workspace(tmp_path):
         "FCN_BINARIZER_TRAIN_LEARNING_RATE = 0.01",
         "FCN_BINARIZER_TRAIN_CROP_SIZE = (32, 32)",
         "FCN_BINARIZER_TRAIN_CROP_MIN_FOREGROUND = 0.0",
-        "FCN_BINARIZER_TRAIN_OUTPUT = models/bin_cli.msgpack",
+        f"FCN_BINARIZER_TRAIN_OUTPUT = {tmp_path}/models/bin_cli.msgpack",
     ]))
     return tmp_path
 
