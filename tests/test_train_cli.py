@@ -83,6 +83,67 @@ def test_train_binarizer_cli_end_to_end(train_workspace, capsys):
     assert binarizer.binarize_frames(frame).shape == (1, 48, 64)
 
 
+@pytest.fixture()
+def pretrain_workspace(tmp_path):
+    img_dir = tmp_path / "text_imgs"
+    mask_dir = tmp_path / "text_masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for k in range(3):
+        rgb = np.full((64, 80, 3), 210, np.uint8)
+        rgb[10:30, 20:60] = rng.integers(0, 80, (20, 40, 3), np.uint8)
+        mask = np.zeros((64, 80), np.uint8)
+        mask[10:30, 20:60] = 255
+        cv2.imwrite(str(img_dir / f"{k}.png"), rgb)
+        cv2.imwrite(str(mask_dir / f"{k}.png"), mask)
+
+    conf = tmp_path / "pretrain.conf"
+    conf.write_text("\n".join([
+        TINY_WIDTHS,
+        "FCN_BINARIZER_NET_MIDDLE_CONV_FILTERS_MIDDLE = 6",
+        "FCN_BINARIZER_NET_PIXEL_FEATURES_1 = 4",
+        "FCN_BINARIZER_NET_PIXEL_FEATURES_2 = 3",
+        "FCN_BINARIZER_NET_PIXEL_KERNEL_SIZE = 3",
+        f"OUTPUT_PATH = {tmp_path}/output",
+        f"FCN_BINARIZER_PRETRAIN_REC_IMAGES_DIR = {img_dir}",
+        f"FCN_BINARIZER_PRETRAIN_IMAGES_DIR = {img_dir}",
+        f"FCN_BINARIZER_PRETRAIN_MASKS_DIR = {mask_dir}",
+        "FCN_BINARIZER_PRETRAIN_BATCH_SIZE = 2",
+        "FCN_BINARIZER_PRETRAIN_REC_EPOCHS = 1",
+        "FCN_BINARIZER_PRETRAIN_EPOCHS = 1",
+        "FCN_BINARIZER_PRETRAIN_REC_LEARNING_RATE = 0.01",
+        "FCN_BINARIZER_PRETRAIN_LEARNING_RATE = 0.01",
+        "FCN_BINARIZER_TRAIN_CROP_SIZE = (32, 32)",
+        "FCN_BINARIZER_TRAIN_CROP_MIN_FOREGROUND = 0.0",
+        f"FCN_BINARIZER_PRETRAIN_RECONSTRUCTION_OUTPUT = {tmp_path}/rec.msgpack",
+        f"FCN_BINARIZER_PRETRAIN_TEXT_OUTPUT = {tmp_path}/text.msgpack",
+        "FCN_BINARIZER_PRETRAIN_USE_RECONSTRUCTION_OUTPUT = 1",
+    ]))
+    return tmp_path
+
+
+def test_pretrain_cli_chain(pretrain_workspace, capsys):
+    """Med-PT then TD-PT through the CLI mains, the reference curriculum's
+    first two stages (lecturenet_train_00/01): the reconstruction CLI saves
+    a checkpoint and the text-detector CLI warm-starts from it."""
+    from lecturemath_tpu.cli.train_reconstruction import main as rec_main
+    from lecturemath_tpu.cli.train_text_detector import main as text_main
+
+    conf = str(pretrain_workspace / "pretrain.conf")
+    rec_main(["prog", conf])
+    out = capsys.readouterr().out
+    assert "Training reconstruction on 3 images" in out
+    rec_path = pretrain_workspace / "rec.msgpack"
+    assert rec_path.exists()
+
+    text_main(["prog", conf])
+    out = capsys.readouterr().out
+    assert "Training text detector on 3 image/mask pairs" in out
+    assert f"warm start from {rec_path} (heads reset)" in out
+    assert (pretrain_workspace / "text.msgpack").exists()
+
+
 def test_train_binarizer_cli_bad_dataset(train_workspace):
     from lecturemath_tpu.cli.train_binarizer import main
 
