@@ -352,7 +352,15 @@ def run_phase(config: Config, phase_name: str, dataset,
 
     variables = None
     warm_started = False
-    if warm_start_path is not None and os.path.exists(warm_start_path):
+    if warm_start_path is not None and not os.path.exists(warm_start_path):
+        # a typo'd path must not silently fall back to from-scratch training
+        # (warm_started also gates the frozen-BN semantics); the reference
+        # crashes in torch.load here (lecturenet_train_02:173)
+        raise FileNotFoundError(
+            f"[{phase_name}] warm-start checkpoint not found: "
+            f"{warm_start_path} — run the pretraining phase first or unset "
+            "the USE_*_OUTPUT config key")
+    if warm_start_path is not None:
         from ..pipeline.binarize import load_checkpoint_variables
 
         variables = load_checkpoint_variables(warm_start_path)

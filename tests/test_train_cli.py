@@ -144,6 +144,18 @@ def test_pretrain_cli_chain(pretrain_workspace, capsys):
     assert (pretrain_workspace / "text.msgpack").exists()
 
 
+def test_missing_warm_start_raises(pretrain_workspace):
+    """A typo'd warm-start path must not silently train from scratch
+    (warm_started also gates freeze-BN semantics)."""
+    from lecturemath_tpu.cli.train_text_detector import main as text_main
+
+    conf = pretrain_workspace / "pretrain.conf"
+    conf.write_text(conf.read_text().replace(
+        "rec.msgpack", "typo.msgpack"))
+    with pytest.raises(FileNotFoundError, match="warm-start checkpoint"):
+        text_main(["prog", str(conf)])
+
+
 def test_train_binarizer_cli_bad_dataset(train_workspace):
     from lecturemath_tpu.cli.train_binarizer import main
 
