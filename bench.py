@@ -554,6 +554,11 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
     sweep = [(b, "float32", None) for b in batch_sizes]
     # bf16 compute (fp32 params) — the TPU-native mixed-precision mode
     sweep += [(b, "bfloat16", None) for b in (batch_sizes[0], batch_sizes[-1])]
+    # bf16 x fast-path combos: plain bf16 LOSES to fp32 (the fp32 BN
+    # casts re-layout every full-res activation); the s2d / BN-folded
+    # graphs remove those casts, so bf16 gets to run the MXU at rate
+    sweep += [(b, "bfloat16", v) for b in (batch_sizes[0], batch_sizes[-1])
+              for v in ("train_s2d", "frozen_fold_s2d")]
     # frozen-BN (warm-start) phase variants: plain eval-mode BN, traced BN
     # folding, and folding + s2d-domain head convs (VERDICT r3 item 5 —
     # both levers measured, integrate-or-retire)

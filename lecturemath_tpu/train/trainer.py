@@ -322,6 +322,21 @@ def run_phase(config: Config, phase_name: str, dataset,
     """
     spec = PHASES[phase_name]
     net_config = FCNConfig.from_config(config)
+    # TRAIN_PRECISION = bf16 runs the forward/backward compute in bfloat16
+    # with fp32 master params, optimizer state, losses, and BatchNorm
+    # statistics (the model pins every BN and the losses cast to fp32).
+    # fp32 is the default: it is bit-comparable to the reference torch
+    # trainers (test_train_parity); bf16 is the TPU mixed-precision mode
+    # (measured vs fp32 in BENCH_TRAIN.json; trajectory-bounded in
+    # tests/test_training.py::test_bf16_training_matches_fp32).
+    precision = config.get_str("TRAIN_PRECISION", "fp32").lower()
+    if precision in ("fp32", "float32"):
+        dtype = jnp.float32
+    elif precision in ("bf16", "bfloat16"):
+        dtype = jnp.bfloat16
+    else:
+        raise ValueError(f"TRAIN_PRECISION must be fp32 or bf16, "
+                         f"got {precision!r}")
     # from-scratch (train-mode BN) phases default to the s2d training
     # forward (PhaseBatchNorm; 231 -> 293 img/s at batch 64 fp32 on v5e,
     # +78% at batch 8; torch step parity in test_train_parity).
@@ -329,7 +344,8 @@ def run_phase(config: Config, phase_name: str, dataset,
     # automatically when the crop isn't 32-divisible or pixel_k < k.
     model = FCNLectureNet(net_config,
                           reconstruction_mode=spec.reconstruction_mode,
-                          s2d_train=config.get_bool("TRAIN_S2D", True))
+                          s2d_train=config.get_bool("TRAIN_S2D", True),
+                          dtype=dtype)
 
     if mesh_spec is not None:
         from ..parallel.mesh import (initialize_distributed_from_env,

@@ -105,6 +105,85 @@ def test_phase_training_reduces_loss(image_files, phase):
     assert losses[-1] < losses[0]
 
 
+def test_bf16_training_tracks_fp32(image_files):
+    """Mixed-precision training (bf16 compute, fp32 master params/BN/loss)
+    must track the fp32 trajectory on the same batch: per-step losses within
+    5% and the loss still decreasing. The bf16 model shares the fp32 init
+    (param init is precision-independent)."""
+    import jax.numpy as jnp
+
+    images, gts = image_files
+    dataset = make_dataset(images, gts, crop_size=(32, 32), seed=0,
+                           color_invert_chance=None,
+                           luminosity_change_chance=None,
+                           gaussian_noise_chance=None,
+                           color_change_chance=None)
+    batch = next(dataset.batches(4, shuffle=False))
+
+    losses = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model = FCNLectureNet(TINY, dtype=dtype)
+        trainer = Trainer(model, learning_rate=0.05, phase="binarizer")
+        state = trainer.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        run = []
+        for _ in range(8):
+            state, metrics = trainer.step(state, batch)
+            run.append(float(jax.device_get(metrics["total"])))
+        losses[dtype.__name__] = run
+
+    fp32, bf16 = np.asarray(losses["float32"]), np.asarray(losses["bfloat16"])
+    assert np.isfinite(bf16).all()
+    assert bf16[-1] < bf16[0]
+    np.testing.assert_allclose(bf16, fp32, rtol=0.05)
+
+
+def test_run_phase_train_precision(image_files, tmp_path):
+    """TRAIN_PRECISION=bf16 selects the mixed-precision model in run_phase
+    (checkpoint still saves fp32 master params); bad values raise."""
+    from lecturemath_tpu.train.trainer import run_phase
+
+    images, gts = image_files
+    config = Config({
+        "FCN_BINARIZER_NET_DOWN_CONV_FILTERS_1": 2,
+        "FCN_BINARIZER_NET_DOWN_CONV_FILTERS_2": 3,
+        "FCN_BINARIZER_NET_DOWN_CONV_FILTERS_3": 4,
+        "FCN_BINARIZER_NET_DOWN_CONV_FILTERS_4": 5,
+        "FCN_BINARIZER_NET_DOWN_CONV_FILTERS_5": 6,
+        "FCN_BINARIZER_NET_MIDDLE_CONV_FILTERS_MIDDLE": 6,
+        "FCN_BINARIZER_NET_UPSAMPLE_FILTERS_5": 6,
+        "FCN_BINARIZER_NET_UP_CONV_FILTERS_5": 6,
+        "FCN_BINARIZER_NET_UPSAMPLE_FILTERS_4": 5,
+        "FCN_BINARIZER_NET_UP_CONV_FILTERS_4": 5,
+        "FCN_BINARIZER_NET_UPSAMPLE_FILTERS_3": 4,
+        "FCN_BINARIZER_NET_UP_CONV_FILTERS_3": 4,
+        "FCN_BINARIZER_NET_UPSAMPLE_FILTERS_2": 3,
+        "FCN_BINARIZER_NET_UP_CONV_FILTERS_2": 3,
+        "FCN_BINARIZER_NET_UPSAMPLE_FILTERS_1": 2,
+        "FCN_BINARIZER_NET_UP_CONV_FILTERS_1": 2,
+        "FCN_BINARIZER_NET_PIXEL_FEATURES_1": 4,
+        "FCN_BINARIZER_NET_PIXEL_FEATURES_2": 3,
+        "FCN_BINARIZER_NET_PIXEL_KERNEL_SIZE": 3,
+        "FCN_BINARIZER_NET_KERNEL_SIZE": 3,
+        "FCN_BINARIZER_TRAIN_CROP_SIZE": (32, 32),
+        "FCN_BINARIZER_TRAIN_LEARNING_RATE": 0.01,
+        "FCN_BINARIZER_TRAIN_OUTPUT": str(tmp_path / "bin_bf16.msgpack"),
+        "TRAIN_PRECISION": "bf16",
+    })
+    dataset = make_dataset(images, gts, crop_size=(32, 32))
+    path = run_phase(config, "binarizer", dataset, epochs_override=1,
+                     batch_size_override=2, verbose=False)
+    from lecturemath_tpu.pipeline.binarize import load_checkpoint_variables
+
+    variables = load_checkpoint_variables(path)
+    kernel = np.asarray(variables["params"]["down_1"]["conv"]["kernel"])
+    assert kernel.dtype == np.float32  # master params stay fp32
+
+    config.set("TRAIN_PRECISION", "fp16")
+    with pytest.raises(ValueError, match="TRAIN_PRECISION"):
+        run_phase(config, "binarizer", dataset, epochs_override=1,
+                  batch_size_override=2, verbose=False)
+
+
 def test_freeze_bn_keeps_stats(image_files):
     images, gts = image_files
     model = FCNLectureNet(TINY)
