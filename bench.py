@@ -818,6 +818,28 @@ def _load_last_good():
         return None
 
 
+def _update_last_good(headline):
+    """Remember this run so a later outage still reports real numbers.
+
+    e2e fps swings ~10x with tunnel weather (median 4.5..34.4 observed
+    across sessions), so also carry forward the BEST median ever recorded
+    (with its own provenance) — a degraded round artifact then shows both
+    "most recent good" and the weather-independent ceiling."""
+    record = dict(headline, recorded_unix=round(time.time(), 1))
+    prev = _load_last_good() or {}
+    best_keys = ("median_e2e_fps", "runs_fps", "stage01_device_fps",
+                 "mfu", "vs_baseline", "recorded_unix", "link_provenance")
+    candidates = [c for c in (prev.get("best_known"), prev, record)
+                  if isinstance(c, dict) and c.get("median_e2e_fps")]
+    best = max(candidates, key=lambda c: c["median_e2e_fps"])
+    record["best_known"] = {k: best.get(k) for k in best_keys}
+    try:
+        with open(LAST_GOOD_FILE, "w") as fh:
+            json.dump(record, fh, indent=1)
+    except OSError:
+        pass
+
+
 def _degraded_exit(error, note):
     """Emit the parseable degraded headline and hard-exit (a hung backend
     thread would otherwise keep the interpreter alive). stdout must be
@@ -931,13 +953,7 @@ def main():
                     "stage01_device_fps is the stable compute signal",
         },
     }
-    # remember this run so a later outage still reports real numbers
-    try:
-        with open(LAST_GOOD_FILE, "w") as fh:
-            json.dump(dict(headline, recorded_unix=round(time.time(), 1)),
-                      fh, indent=1)
-    except OSError:
-        pass
+    _update_last_good(headline)
     print(json.dumps(headline))
 
 
