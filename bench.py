@@ -826,17 +826,32 @@ def _update_last_good(headline):
     (with its own provenance) — a degraded round artifact then shows both
     "most recent good" and the weather-independent ceiling."""
     record = dict(headline, recorded_unix=round(time.time(), 1))
-    prev = _load_last_good() or {}
-    best_keys = ("median_e2e_fps", "runs_fps", "stage01_device_fps",
-                 "mfu", "vs_baseline", "recorded_unix", "link_provenance")
-    candidates = [c for c in (prev.get("best_known"), prev, record)
-                  if isinstance(c, dict) and c.get("median_e2e_fps")]
-    best = max(candidates, key=lambda c: c["median_e2e_fps"])
-    record["best_known"] = {k: best.get(k) for k in best_keys}
+    # nothing in here may abort the run: this is called AFTER a successful
+    # measurement and BEFORE the certifying headline print — a malformed
+    # prior file (foreign writer, hand edits) must cost only the history
     try:
-        with open(LAST_GOOD_FILE, "w") as fh:
+        prev = _load_last_good() or {}
+        best_keys = ("median_e2e_fps", "runs_fps", "stage01_device_fps",
+                     "mfu", "vs_baseline", "recorded_unix",
+                     "link_provenance")
+
+        def _median(c):
+            try:
+                return float(c["median_e2e_fps"])
+            except (KeyError, TypeError, ValueError):
+                return None
+
+        candidates = [c for c in (prev.get("best_known"), prev, record)
+                      if isinstance(c, dict) and _median(c) is not None]
+        best = max(candidates, key=_median)
+        record["best_known"] = {k: best.get(k) for k in best_keys}
+        # atomic replace: the file now carries irreplaceable history
+        # (best_known), so a mid-write kill must not truncate it
+        tmp = LAST_GOOD_FILE + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(record, fh, indent=1)
-    except OSError:
+        os.replace(tmp, LAST_GOOD_FILE)
+    except Exception:  # noqa: BLE001 — history is best-effort
         pass
 
 

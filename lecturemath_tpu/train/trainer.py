@@ -328,7 +328,7 @@ def run_phase(config: Config, phase_name: str, dataset,
     # fp32 is the default: it is bit-comparable to the reference torch
     # trainers (test_train_parity); bf16 is the TPU mixed-precision mode
     # (measured vs fp32 in BENCH_TRAIN.json; trajectory-bounded in
-    # tests/test_training.py::test_bf16_training_matches_fp32).
+    # tests/test_training.py::test_bf16_training_tracks_fp32).
     precision = config.get_str("TRAIN_PRECISION", "fp32").lower()
     if precision in ("fp32", "float32"):
         dtype = jnp.float32
@@ -346,6 +346,19 @@ def run_phase(config: Config, phase_name: str, dataset,
                           reconstruction_mode=spec.reconstruction_mode,
                           s2d_train=config.get_bool("TRAIN_S2D", True),
                           dtype=dtype)
+
+    if warm_start_path is not None and not os.path.exists(warm_start_path):
+        # a typo'd path must not silently fall back to from-scratch training
+        # (warm_started also gates the frozen-BN semantics); the reference
+        # crashes in torch.load here (lecturenet_train_02:173). Checked
+        # BEFORE joining any multi-host mesh: a host missing the file must
+        # fail fast and consistently, not raise mid-collectives while its
+        # peers proceed (Gloo's rendezvous deadline would bury this error
+        # under a barrier failure).
+        raise FileNotFoundError(
+            f"[{phase_name}] warm-start checkpoint not found: "
+            f"{warm_start_path} — run the pretraining phase first or unset "
+            "the USE_*_OUTPUT config key")
 
     if mesh_spec is not None:
         from ..parallel.mesh import (initialize_distributed_from_env,
@@ -368,14 +381,6 @@ def run_phase(config: Config, phase_name: str, dataset,
 
     variables = None
     warm_started = False
-    if warm_start_path is not None and not os.path.exists(warm_start_path):
-        # a typo'd path must not silently fall back to from-scratch training
-        # (warm_started also gates the frozen-BN semantics); the reference
-        # crashes in torch.load here (lecturenet_train_02:173)
-        raise FileNotFoundError(
-            f"[{phase_name}] warm-start checkpoint not found: "
-            f"{warm_start_path} — run the pretraining phase first or unset "
-            "the USE_*_OUTPUT config key")
     if warm_start_path is not None:
         from ..pipeline.binarize import load_checkpoint_variables
 

@@ -42,6 +42,5 @@ def test_api_doc_mentions_no_phantom_modules():
     doc = open(os.path.join(REPO, "docs", "API.md")).read()
     cited = set(re.findall(r"^\| `((?:\w+\.)+\w+)`", doc, re.M))
     existing = set(_package_modules())
-    phantom = {c for c in cited
-               if c not in existing and not c.startswith("cli.")}
+    phantom = cited - existing
     assert not phantom, f"API.md cites nonexistent modules: {phantom}"
