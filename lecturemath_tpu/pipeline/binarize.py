@@ -428,7 +428,10 @@ def _downscale_batch(frames: np.ndarray, model_size: Tuple[int, int]) -> np.ndar
     out = np.empty((frames.shape[0], model_size[1], model_size[0], 3), np.uint8)
     for k in range(frames.shape[0]):
         img = Image.fromarray(frames[k])
-        while img.size[0] * img.size[1] > 2_500_000:
+        # halve until the pixel count reaches the target's — model_size
+        # (from resolve_model_size) is the single source of the halving
+        # rule, so the two can't drift apart
+        while img.size[0] * img.size[1] > model_size[0] * model_size[1]:
             img = img.resize((img.size[0] // 2, img.size[1] // 2),
                              Image.LANCZOS)
         out[k] = np.asarray(img)

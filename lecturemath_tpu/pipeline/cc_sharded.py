@@ -184,6 +184,19 @@ class StreamingShardedTracker:
         self._merged = tracker if self._merged is None else \
             merge_trackers(self._merged, tracker)
 
+    def abort(self) -> None:
+        """Release the worker pool without draining queued shards.
+
+        For callers whose frame stream died mid-lecture (e.g. a device
+        fetch timeout): without this, the ProcessPoolExecutor and its
+        in-flight shard jobs leak, and concurrent.futures' atexit hook
+        blocks interpreter shutdown until every queued shard drains."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+        self._futures.clear()
+        self._buffer = []
+
     def finish(self) -> CCTracker:
         if self._buffer:  # flush the sub-chunk tail
             work = (self._buffer,) + self.params
@@ -229,6 +242,11 @@ def track_sharded(binaries: Sequence[np.ndarray], min_recall: float = 0.925,
     merges pairwise in log2(n_shards) levels instead of a left fold
     (exercises associativity; same result).
     """
+    if len(binaries) == 0:
+        raise ValueError("track_sharded: no frames to track (frame "
+                         "dimensions are unknown for an empty input; the "
+                         "streaming frontend handles empty lectures because "
+                         "it is constructed with explicit dimensions)")
     height, width = binaries[0].shape
     params = (width, height, min_recall, min_precision, max_gap)
 

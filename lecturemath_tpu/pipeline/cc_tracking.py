@@ -197,8 +197,11 @@ class CCTracker:
                     new_uidx = len(self.unique_ccs)
                     self.unique_ccs.append(self.unique_ccs[uidx])
                     self.unique_cc_frames.append(run)
-                    run_frames = {frame_idx for frame_idx, _ in run}
-                    for frame_idx in run_frames:
+                    # one renumbering per SIGHTING, not per frame: a frame
+                    # where two CCs matched the same unique CC has two
+                    # entries with this uidx, and the reference renumbers
+                    # both (the break lands on the next one each pass)
+                    for frame_idx, _ in run:
                         frame = self.cc_idx_per_frame[frame_idx]
                         for offset, (entry_uidx, local_cc) in enumerate(frame):
                             if entry_uidx == uidx:

@@ -54,6 +54,13 @@ class PipelineDriver:
         params = parse_cli_overrides(list(argv))
         driver = cls(config, params, resolve(input_keys), resolve(output_keys))
 
+        # a bare "-i"/"-o" flag parses as the boolean True — catch the
+        # forgotten value here instead of failing later on a non-string
+        # artifact prefix
+        for flag in ("i", "o"):
+            if params.get(flag) is True:
+                raise ValueError(f"-{flag} requires one or more artifact "
+                                 f"prefixes (e.g. -{flag} tempo_binary_)")
         if "i" in params:
             driver.input_prefixes = params["i"]
         if "o" in params:
@@ -124,6 +131,12 @@ class PipelineDriver:
     # ------------------------------------------------------------- lectures
 
     def iter_lectures(self) -> Iterator[LectureInfo]:
+        # bare "-l"/"-d" flags (value forgotten) parse as the boolean True
+        for flag, noun in (("l", "lecture title"), ("d", "dataset name")):
+            if self.params.get(flag) is True:
+                raise ValueError(f"-{flag} requires one or more {noun}s "
+                                 f"(e.g. -{flag} lecture_01)")
+
         only_lectures = self.params.get("l")
         if only_lectures is not None and not isinstance(only_lectures, list):
             only_lectures = [only_lectures]

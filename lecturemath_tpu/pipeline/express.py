@@ -52,44 +52,56 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
     frame_times: list = []
     frame_indices: list = []
     compressed = [] if save_artifacts else None
-    for times, indices, frames in binarizer.stream_source(source,
-                                                          frames_limit):
-        if tracker is None and sharded is None:
-            height, width = frames[0].shape
-            if n_shards > 1:
-                # sharded host tracking (CC_ANALYSIS_SHARDS>1 enables): in
-                # express, shard boundaries follow the drained device
-                # batches (or CC_ANALYSIS_CHUNK_FRAMES-sized chunks),
-                # dispatched to CC_ANALYSIS_WORKERS processes while later
-                # batches are in flight and fold-merged in order —
-                # streaming overlap is kept and results are bit-identical
-                # to sequential tracking at ANY granularity. (The staged
-                # cc_analysis CLI, which holds all frames, splits into
-                # exactly CC_ANALYSIS_SHARDS chunks instead.)
-                from .cc_sharded import StreamingShardedTracker
+    try:
+        for times, indices, frames in binarizer.stream_source(source,
+                                                              frames_limit):
+            if tracker is None and sharded is None:
+                height, width = frames[0].shape
+                if n_shards > 1:
+                    # sharded host tracking (CC_ANALYSIS_SHARDS>1 enables):
+                    # in express, shard boundaries follow the drained device
+                    # batches (or CC_ANALYSIS_CHUNK_FRAMES-sized chunks),
+                    # dispatched to CC_ANALYSIS_WORKERS processes while later
+                    # batches are in flight and fold-merged in order —
+                    # streaming overlap is kept and results are bit-identical
+                    # to sequential tracking at ANY granularity. (The staged
+                    # cc_analysis CLI, which holds all frames, splits into
+                    # exactly CC_ANALYSIS_SHARDS chunks instead.)
+                    from .cc_sharded import StreamingShardedTracker
 
-                sharded = StreamingShardedTracker(
-                    width, height, min_recall, min_precision, max_gap,
-                    n_workers=config.get_int("CC_ANALYSIS_WORKERS", 0),
-                    chunk_frames=config.get_int("CC_ANALYSIS_CHUNK_FRAMES",
-                                                0))
+                    sharded = StreamingShardedTracker(
+                        width, height, min_recall, min_precision, max_gap,
+                        n_workers=config.get_int("CC_ANALYSIS_WORKERS", 0),
+                        chunk_frames=config.get_int(
+                            "CC_ANALYSIS_CHUNK_FRAMES", 0))
+                else:
+                    tracker = CCTracker(width=width, height=height,
+                                        min_recall=min_recall,
+                                        min_precision=min_precision,
+                                        max_gap=max_gap)
+            frame_times.extend(times)
+            frame_indices.extend(indices)
+            if sharded is not None:
+                sharded.add_frames(frames)
             else:
-                tracker = CCTracker(width=width, height=height,
-                                    min_recall=min_recall,
-                                    min_precision=min_precision,
-                                    max_gap=max_gap)
-        frame_times.extend(times)
-        frame_indices.extend(indices)
+                for frame in frames:
+                    tracker.add_frame(frame)
+            if save_artifacts:
+                compressed.extend(compress_png(frames))
+    except BaseException:
+        # an aborted stream (e.g. a backend fetch timeout mid-lecture) must
+        # not leak the sharded tracker's worker pool / queued shard jobs
         if sharded is not None:
-            sharded.add_frames(frames)
-        else:
-            for frame in frames:
-                tracker.add_frame(frame)
-        if save_artifacts:
-            compressed.extend(compress_png(frames))
+            sharded.abort()
+        raise
 
     if sharded is not None:
         tracker = sharded.finish()
+
+    if tracker is None:
+        raise ValueError(
+            f"no frames decoded from lecture <{lecture.title}> — empty or "
+            f"unreadable video / image-list input")
 
     if save_artifacts:
         driver.store.save((frame_times, frame_indices, compressed),
@@ -143,14 +155,37 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
             config.get_int("VIDEO_SEGMENTATION_DEL_EVENT_MIN_LENGTH", 15),
             config.get_float("VIDEO_SEGMENTATION_DEL_EVENT_THRESHOLD", 0.25))
     elif method == 2:
+        def override(key, param):
+            if param in driver.params:
+                return int(driver.params[param])
+            return config.get_int(key, 0)
+
+        weight_area = override("VIDEO_SEGMENTATION_CONFLICTS_WEIGHTS",
+                               "conf_w")
+        weight_pixels = override("VIDEO_SEGMENTATION_CONFLICTS_WEIGHTS_PIXELS",
+                                 "conf_p")
+        weight_time = override("VIDEO_SEGMENTATION_CONFLICTS_WEIGHTS_TIME",
+                               "conf_t")
+
+        # the union/intersection weightings expect FRACTIONAL areas — the
+        # staged CLI (stages.py stage04) and the reference
+        # (pre_ST3D_v3.0_04:139-147) normalize by the frame pixel count
+        # after loading the conflicts artifact. Normalizing here (after the
+        # artifact save above) keeps the saved artifact raw, exactly like
+        # the staged flow.
+        if weight_area in (seg.AREA_WEIGHT_UNION, seg.AREA_WEIGHT_INTERSECTION):
+            img_size = height * width
+            for gidx in conflicts:
+                for other in conflicts[gidx]:
+                    conflicts[gidx][other]["area_intersection"] /= img_size
+                    conflicts[gidx][other]["area_union"] /= img_size
+
         intervals = seg.segments_from_conflicts(
             n_frames, group_ages, conflicts,
             config.get("VIDEO_SEGMENTATION_CONFLICTS_MIN_CONFLICTS", 3.0),
             config.get_int("VIDEO_SEGMENTATION_CONFLICTS_MIN_SPLIT", 50),
             config.get_int("VIDEO_SEGMENTATION_CONFLICTS_MIN_LENGTH", 25),
-            config.get_int("VIDEO_SEGMENTATION_CONFLICTS_WEIGHTS", 0),
-            config.get_int("VIDEO_SEGMENTATION_CONFLICTS_WEIGHTS_PIXELS", 0),
-            config.get_int("VIDEO_SEGMENTATION_CONFLICTS_WEIGHTS_TIME", 0))
+            weight_area, weight_pixels, weight_time)
     else:
         clean = tracker.clean_frames_from_groups(
             groups, group_boundaries, groups_per_frame, group_ages,

@@ -213,8 +213,14 @@ def stage04_segmentation(driver: PipelineDriver, lecture: LectureInfo,
 
 def stage04_input_keys(config: Config):
     """Input artifact keys per segmentation method
-    (reference: pre_ST3D_v3.0_04:232-249)."""
-    method = config.get_int("VIDEO_SEGMENTATION_METHOD", 2)
+    (reference: pre_ST3D_v3.0_04:232-249).
+
+    The reference defaults VIDEO_SEGMENTATION_METHOD to 2 here but to 3 in
+    the stage body (:17 vs :232) — with the key absent it loads two
+    artifacts and then indexes a third (a crash). We align both defaults
+    to 3 (the stage body's choice) instead of mirroring the crash
+    (PARITY.md quirks)."""
+    method = config.get_int("VIDEO_SEGMENTATION_METHOD", 3)
     if method == 3:
         return ["CC_RECONSTRUCTED_OUTPUT", "CC_CONFLICTS_OUTPUT", "CC_ST3D_OUTPUT"]
     if method == 2:

@@ -102,11 +102,14 @@ def test_update_last_good_carries_best_known(bench, monkeypatch, tmp_path):
                 "link_provenance": {"up_mbps": [10.0]}}
 
     bench._update_last_good(headline(34.4, 162.0))       # good weather
-    bench._update_last_good(headline(4.5, 129.0))        # bad weather
+    returned = bench._update_last_good(headline(4.5, 129.0))  # bad weather
     rec = json.load(open(path))
     assert rec["median_e2e_fps"] == 4.5                  # most recent
     assert rec["best_known"]["median_e2e_fps"] == 34.4   # ceiling kept
     assert rec["best_known"]["stage01_device_fps"] == 162.0
+    # the caller gets the written record back so the compact headline can
+    # embed best_known when this run under-performed it
+    assert returned["best_known"]["median_e2e_fps"] == 34.4
 
     bench._update_last_good(headline(40.0, 165.0))       # new best
     rec = json.load(open(path))

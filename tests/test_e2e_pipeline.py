@@ -290,3 +290,121 @@ def test_reference_sampling_alignment(tmp_path, synthetic):
     # default 'start' alignment keeps frame 0 and self-consistent indices
     start = list(VideoFrameSource([path], sampling_fps=1.0).frames())
     assert [i for _, i, _ in start] == [0, 30, 60, 90]
+
+
+def test_express_method2_area_weights_match_staged(workspace):
+    """Express method-2 segmentation with union/intersection area weighting
+    must apply the same fractional-area normalization the staged CLI and
+    the reference do (pre_ST3D_v3.0_04:139-147). Regression: express used
+    to feed RAW pixel areas into segments_from_conflicts, splitting very
+    differently from the staged run over the same artifacts."""
+    from lecturemath_tpu.pipeline.binarize import Binarizer
+    from lecturemath_tpu.pipeline.express import run_lecture
+    from lecturemath_tpu.pipeline.keyframes import (close_interval_gaps,
+                                                    extract_keyframes)
+    from lecturemath_tpu.pipeline.stages import stage04_segmentation
+
+    h, w = 96, 128
+    early = np.zeros((h, w), np.uint8)
+    early[20:60, 20:80] = 255  # big block, frames 0-11
+    late = np.zeros((h, w), np.uint8)
+    late[30:70, 40:100] = 255  # overlapping block, frames 26-39
+    empty = np.zeros((h, w), np.uint8)
+    frames = [early] * 12 + [empty] * 14 + [late] * 14
+
+    class CleanBinarizer(Binarizer):
+        def __init__(self):
+            pass
+
+        def stream_source(self, source, frames_limit=0, invert=True):
+            times = [1000.0 * t for t in range(len(frames))]
+            indices = [30 * t for t in range(len(frames))]
+            yield times, indices, [f.copy() for f in frames]
+
+    driver = make_driver(workspace, None, None)
+    # overlapping-but-never-coexisting blocks land in different groups
+    # (temporal window 5 < the 14-frame gap) and conflict spatially
+    settings = {
+        "VIDEO_SEGMENTATION_METHOD": 2,
+        "VIDEO_SEGMENTATION_CONFLICTS_WEIGHTS": 3,  # union areas
+        "VIDEO_SEGMENTATION_CONFLICTS_MIN_SPLIT": 5,
+        "VIDEO_SEGMENTATION_CONFLICTS_MIN_LENGTH": 4,
+        "BINARIZATION_OUTPUT": "m2_binary_",
+        "CC_RECONSTRUCTED_OUTPUT": "m2_reconstructed_",
+        "CC_CONFLICTS_OUTPUT": "m2_conflicts_",
+        "CC_ST3D_OUTPUT": "m2_st3d_",
+    }
+    for key, value in settings.items():
+        driver.config.set(key, value)
+    lecture = driver.database.lectures[0]
+
+    express_indices, express_times, express_keyframes = run_lecture(
+        driver, lecture, CleanBinarizer(), save_artifacts=True, export=False)
+
+    # preconditions: a conflict exists (otherwise the weighting is vacuous)
+    # and the SAVED artifact holds raw pixel areas (the staged loader and
+    # the reference normalize after load; double-normalizing would diverge)
+    _, conflicts = driver.store.load("m2_conflicts_", "synth01")
+    flat = [conflicts[g][o] for g in conflicts for o in conflicts[g]]
+    assert flat, "no conflicts generated - the weighting path is untested"
+    assert all(c["area_union"] > 1.0 for c in flat)
+
+    staged = make_driver(workspace, None, None)
+    for key, value in settings.items():
+        staged.config.set(key, value)
+    inputs = [staged.store.load(settings["CC_RECONSTRUCTED_OUTPUT"], "synth01"),
+              staged.store.load(settings["CC_CONFLICTS_OUTPUT"], "synth01")]
+    staged_intervals = stage04_segmentation(staged, lecture, inputs)
+
+    st3d = staged.store.load(settings["CC_ST3D_OUTPUT"], "synth01")
+    staged_keyframes, _ = extract_keyframes(st3d, staged_intervals)
+    _, _, staged_indices, staged_times = \
+        close_interval_gaps(st3d, staged_intervals)
+
+    assert express_indices == staged_indices
+    assert express_times == staged_times
+    assert len(express_keyframes) == len(staged_keyframes)
+    for mine, theirs in zip(express_keyframes, staged_keyframes):
+        np.testing.assert_array_equal(mine, theirs)
+
+def test_bare_cli_flags_rejected(workspace):
+    """A bare -l/-d (value forgotten) parses as boolean True; it must be a
+    usage error, not an AttributeError deep in iter_lectures."""
+    driver = make_driver(workspace, None, None, argv=["-l"])
+    with pytest.raises(ValueError, match="-l requires"):
+        list(driver.iter_lectures())
+    driver = make_driver(workspace, None, None, argv=["-d"])
+    with pytest.raises(ValueError, match="-d requires"):
+        list(driver.iter_lectures())
+    for flag in ("-i", "-o"):
+        with pytest.raises(ValueError, match=f"{flag} requires"):
+            make_driver(workspace, None, None, argv=[flag])
+
+
+def test_stage04_input_keys_default_matches_stage_body():
+    """With VIDEO_SEGMENTATION_METHOD absent both the input list and the
+    stage body must agree on method 3 (the reference defaults them to 2 vs
+    3 and crashes on inputs[2]; PARITY.md quirks)."""
+    from lecturemath_tpu.pipeline.stages import stage04_input_keys
+
+    assert stage04_input_keys(Config()) == \
+        ["CC_RECONSTRUCTED_OUTPUT", "CC_CONFLICTS_OUTPUT", "CC_ST3D_OUTPUT"]
+
+
+def test_express_zero_frames_is_clear_error(workspace):
+    """A lecture whose source decodes no frames must raise a named error,
+    not an AttributeError on a never-built tracker."""
+    from lecturemath_tpu.pipeline.binarize import Binarizer
+    from lecturemath_tpu.pipeline.express import run_lecture
+
+    class EmptyBinarizer(Binarizer):
+        def __init__(self):
+            pass
+
+        def stream_source(self, source, frames_limit=0, invert=True):
+            return iter(())
+
+    driver = make_driver(workspace, None, None)
+    lecture = driver.database.lectures[0]
+    with pytest.raises(ValueError, match="no frames decoded"):
+        run_lecture(driver, lecture, EmptyBinarizer(), export=False)

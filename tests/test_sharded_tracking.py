@@ -256,3 +256,31 @@ def test_shard_invariance_shape_fuzz(seed):
                                 n_shards=n_shards)
         assert_trackers_equal(reference, sharded)
         assert _downstream_groups(sharded, max_gap) == ref_down
+
+
+def test_track_sharded_empty_input_is_clear_error():
+    """Frame dimensions are unknowable from an empty list - must raise a
+    named error, not IndexError (the streaming frontend, built with
+    explicit dimensions, returns an empty tracker instead)."""
+    with pytest.raises(ValueError, match="no frames to track"):
+        track_sharded([], n_shards=4)
+
+
+def test_streaming_tracker_abort_releases_pool():
+    """abort() must shut the worker pool down so an aborted stream (e.g. a
+    device fetch timeout mid-lecture) doesn't leak processes or block
+    interpreter exit on queued shards."""
+    from lecturemath_tpu.pipeline.cc_sharded import StreamingShardedTracker
+
+    tracker = StreamingShardedTracker(64, 48, 0.9, 0.9, 8, n_workers=2)
+    frame = np.zeros((48, 64), np.uint8)
+    frame[10:20, 10:20] = 255
+    tracker.add_frames([frame, frame])
+    assert tracker._pool is not None
+    tracker.abort()
+    assert tracker._pool is None
+    assert tracker._futures == [] and tracker._buffer == []
+    # abort is idempotent, and finish() after abort still yields a tracker
+    # (whatever prefix was already folded, or an empty one)
+    tracker.abort()
+    assert tracker.finish() is not None

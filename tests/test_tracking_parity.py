@@ -122,6 +122,48 @@ def test_grouping_pipeline_parity(tracked):
         np.testing.assert_array_equal(mine, theirs)
 
 
+def test_gap_split_double_sighting_parity():
+    """A frame where TWO current CCs matched the same unique CC gives that
+    unique CC two same-frame sightings; when a gap split renumbers the run
+    containing that frame, the reference renumbers one per-frame entry per
+    SIGHTING (split_stable_cc_by_gaps iterates sightings, the inner break
+    lands on the next un-renumbered entry each pass). Regression for a
+    frame-dedup bug that renumbered only the first entry."""
+    h, w = 48, 64
+    blob = np.zeros((h, w), np.uint8)
+    blob[10:24, 10:24] = 255  # 14x14 blob A
+    twins = np.zeros((h, w), np.uint8)
+    twins[10:16, 10:16] = 255  # B1: 6x6 inside A's footprint (> noise floor)
+    twins[18:24, 18:24] = 255  # B2: 6x6 inside A's footprint, disjoint
+    empty = np.zeros((h, w), np.uint8)
+
+    # frames 0-2: A. 3-6: empty (gap 5 <= tracking max_gap 10, stays
+    # active). 7: B1+B2 (both match unique 0 at low thresholds). 8: A.
+    frames = [blob, blob, blob, empty, empty, empty, empty, twins, blob]
+
+    ours = CCTracker(w, h, 0.1, 0.1, max_gap=10)
+    ref = oracle_estimator(w, h, 0.1, 0.1, 10)
+    for frame in frames:
+        ours.add_frame(frame)
+        ref.add_frame(frame, True)
+
+    # precondition: the double sighting actually happened
+    frame7 = [uidx for uidx, _ in ours.cc_idx_per_frame[7]]
+    assert frame7 == [0, 0], frame7
+
+    # split with a SMALLER gap than tracking used (as a stage-03 config
+    # can) so the [7, 7, 8] run becomes a new unique CC
+    split_ours = ours.split_stable_by_gaps(3, 3)
+    split_ref = ref.split_stable_cc_by_gaps(3, 3)
+    assert split_ours == split_ref == 1
+
+    assert ours.unique_cc_frames == ref.unique_cc_frames
+    for mine, theirs in zip(ours.cc_idx_per_frame, ref.cc_idx_per_frame):
+        assert [idx for idx, _ in mine] == [idx for idx, _ in theirs]
+    # both frame-7 entries must now point at the new unique CC
+    assert [uidx for uidx, _ in ours.cc_idx_per_frame[7]] == [1, 1]
+
+
 def test_add_frame_non_binary_parity():
     """add_frame(input_binary=False) classically binarizes first, matching
     the reference's default path (cc_stability_estimator.py:40-47)."""
