@@ -42,7 +42,8 @@ class Trainer:
                  momentum: float = 0.0, phase: str = "binarizer",
                  mesh: Optional[Mesh] = None, use_weights: bool = False,
                  freeze_bn: bool = False, clip_norm: Optional[float] = None,
-                 fold_frozen_bn: bool = False, s2d_heads: bool = False):
+                 fold_frozen_bn: bool = False, s2d_heads: bool = False,
+                 prefetch_depth: int = 2):
         """freeze_bn mirrors the reference's warm-start behavior: the torch
         trainers call .eval() after loading a pretrained model and never
         switch back, so BatchNorm uses (and does not update) running stats
@@ -57,12 +58,20 @@ class Trainer:
         elementwise pass from forward AND backward. s2d_heads additionally
         computes the k=7 full-res head convs in space-to-depth domain
         (crop must be a multiple of 32); its backward is the autodiff of
-        the (linear) kernel remap — no custom VJP needed for parity."""
+        the (linear) kernel remap — no custom VJP needed for parity.
+
+        prefetch_depth: batches prepared ahead on a background thread
+        during train_epoch (train/prefetch.py) so host decode/augment —
+        and, single-process, the device upload — overlap device compute.
+        The batch stream itself is unchanged (same RNG order); 0 restores
+        fully synchronous loading (the reference's num_workers=0
+        behavior, lecturenet_train_00:92-93)."""
         self.model = model
         self.phase = phase
         self.mesh = mesh
         self.use_weights = use_weights
         self.freeze_bn = freeze_bn
+        self.prefetch_depth = prefetch_depth
         transforms = []
         if clip_norm is not None:
             transforms.append(optax.clip_by_global_norm(clip_norm))
@@ -144,10 +153,26 @@ class Trainer:
         return self._train_step(state, self.shard_batch(batch))
 
     def train_epoch(self, state: TrainState, dataset, batch_size: int):
+        from .prefetch import prefetch
+
+        # multi-process: global-array construction (shard_batch) must stay
+        # on the main thread next to the other collectives, so the producer
+        # prefetches host batches only; single-process it also uploads.
+        device_side = jax.process_count() == 1
+        batches = prefetch(dataset.batches(batch_size), self.prefetch_depth,
+                           transform=self.shard_batch if device_side
+                           else None)
         losses = []
-        for batch in dataset.batches(batch_size):
-            state, metrics = self.step(state, batch)
-            losses.append(metrics)
+        try:
+            for batch in batches:
+                if device_side:
+                    state, metrics = self._train_step(state, batch)
+                else:
+                    state, metrics = self.step(state, batch)
+                losses.append(metrics)
+        finally:
+            if hasattr(batches, "close"):
+                batches.close()
         if not losses:
             return state, {}
         mean = {k: float(np.mean([jax.device_get(m[k]) for m in losses]))
@@ -403,7 +428,9 @@ def run_phase(config: Config, phase_name: str, dataset,
               and net_config.pixel_kernel_size >= net_config.kernel_size)
     trainer = Trainer(model, lr, phase=phase_name, mesh=mesh,
                       freeze_bn=warm_started, fold_frozen_bn=frozen_fast,
-                      s2d_heads=s2d_ok)
+                      s2d_heads=s2d_ok,
+                      prefetch_depth=config.get_int(
+                          "TRAIN_PREFETCH_BATCHES", 2))
 
     state = trainer.init_state(jax.random.PRNGKey(0),
                                (1, crop[0], crop[1], net_config.in_channels),
