@@ -65,7 +65,9 @@ class Trainer:
         and, single-process, the device upload — overlap device compute.
         The batch stream itself is unchanged (same RNG order); 0 restores
         fully synchronous loading (the reference's num_workers=0
-        behavior, lecturenet_train_00:92-93)."""
+        behavior, lecturenet_train_00:92-93). Measured on the TPU:
+        +28% epoch wall at batch 8, +2% at batch 64, never slower
+        (PARITY.md "Host-side batch prefetching")."""
         self.model = model
         self.phase = phase
         self.mesh = mesh
