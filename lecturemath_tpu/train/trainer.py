@@ -66,8 +66,10 @@ class Trainer:
         The batch stream itself is unchanged (same RNG order); 0 restores
         fully synchronous loading (the reference's num_workers=0
         behavior, lecturenet_train_00:92-93). Measured on the TPU:
-        +28% epoch wall at batch 8, +2% at batch 64, never slower
-        (PARITY.md "Host-side batch prefetching")."""
+        never slower, up to +28% epoch wall at batch 8 when per-step
+        host costs are on the critical path (PARITY.md "Host-side batch
+        prefetching" — including the one-fetch-per-key epoch metrics
+        that measurement motivated)."""
         self.model = model
         self.phase = phase
         self.mesh = mesh
@@ -177,7 +179,11 @@ class Trainer:
                 batches.close()
         if not losses:
             return state, {}
-        mean = {k: float(np.mean([jax.device_get(m[k]) for m in losses]))
+        # one device->host transfer per metric key, not one per step: each
+        # scalar fetch pays a full link round trip (~40-100 ms on a
+        # tunneled rig), so stack the per-step scalars on device first
+        mean = {k: float(np.mean(jax.device_get(
+                    jnp.stack([m[k] for m in losses]))))
                 for k in losses[0]}
         return state, mean
 
