@@ -188,9 +188,10 @@ class StreamingShardedTracker:
         """Release the worker pool without draining queued shards.
 
         For callers whose frame stream died mid-lecture (e.g. a device
-        fetch timeout): without this, the ProcessPoolExecutor and its
-        in-flight shard jobs leak, and concurrent.futures' atexit hook
-        blocks interpreter shutdown until every queued shard drains."""
+        fetch timeout): queued shard jobs are cancelled; a shard already
+        executing on a worker finishes, then the pool exits — so shutdown
+        is delayed at most one shard, not by the whole queue (which is
+        what concurrent.futures' atexit hook would otherwise wait on)."""
         if self._pool is not None:
             self._pool.shutdown(wait=False, cancel_futures=True)
             self._pool = None

@@ -46,6 +46,10 @@ class PrefetchIterator:
             raise ValueError(f"prefetch depth must be >= 1, got {depth}")
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._error: Optional[BaseException] = None
+        # the _DONE sentinel is enqueued exactly once; remember having seen
+        # it so a second next() after exhaustion raises StopIteration again
+        # instead of blocking forever on the empty queue
+        self._finished = False
         self._stop = threading.Event()
         self._transform = transform
         self._thread = threading.Thread(
@@ -80,8 +84,11 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        if self._finished:
+            raise StopIteration
         item = self._queue.get()
         if item is self._DONE:
+            self._finished = True
             if self._error is not None:
                 error, self._error = self._error, None
                 raise error
