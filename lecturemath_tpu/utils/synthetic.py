@@ -46,30 +46,16 @@ def _make_glyph(rng: np.random.Generator, max_h: int, max_w: int) -> np.ndarray:
     return mask
 
 
-def synthetic_lecture(seed: int = 0, n_frames: int = 40, height: int = 96,
-                      width: int = 128, n_boards: int = 2,
-                      glyphs_per_board: int = 5, jitter: float = 0.0,
-                      glyph_size: Tuple[int, int] = (16, 20)):
-    """Generate a synthetic lecture.
-
-    The timeline is split into ``n_boards`` eras; each era writes
-    ``glyphs_per_board`` glyphs at staggered times, then everything is erased
-    at the era boundary (the ground-truth segmentation split).
-
-    Args:
-      jitter: probability of dropping each foreground pixel per frame
-        (exercises the partial-overlap matching thresholds).
-
-    Returns:
-      (frames, glyphs, erase_times): frames is uint8 [T, H, W] (0/255),
-      glyphs is the placed glyph list, erase_times the era boundaries.
-    """
-    rng = np.random.default_rng(seed)
+def _plan_glyphs(rng: np.random.Generator, n_frames: int, height: int,
+                 width: int, n_boards: int, glyphs_per_board: int,
+                 glyph_size: Tuple[int, int]):
+    """Build the glyph write/erase plan (shared by the materializing
+    synthetic_lecture and the streaming SyntheticRGBLectureSource; the rng
+    consumption order here is load-bearing for seeded test workloads)."""
     max_h, max_w = glyph_size
-
     era_len = n_frames // n_boards
     glyphs: List[SyntheticGlyph] = []
-    erase_times = []
+    erase_times: List[int] = []
 
     # place glyphs on a coarse grid so they never touch
     cell_h = max_h + 4
@@ -91,14 +77,46 @@ def synthetic_lecture(seed: int = 0, n_frames: int = 40, height: int = 96,
             y = 2 + r * cell_h + int(rng.integers(0, max(1, cell_h - mask.shape[0] - 1)))
             t_write = t0 + int(rng.integers(0, max(1, era_len // 2)))
             glyphs.append(SyntheticGlyph(mask, x, y, t_write, t1))
+    return glyphs, erase_times
+
+
+def render_binary_frame(glyphs: List[SyntheticGlyph], t: int, height: int,
+                        width: int) -> np.ndarray:
+    """Render the uint8 0/255 ink mask of frame ``t`` from a glyph plan."""
+    frame = np.zeros((height, width), dtype=np.uint8)
+    for glyph in glyphs:
+        if glyph.t_write <= t and (glyph.t_erase is None or t < glyph.t_erase):
+            h, w = glyph.mask.shape
+            region = frame[glyph.y:glyph.y + h, glyph.x:glyph.x + w]
+            np.maximum(region, glyph.mask, out=region)
+    return frame
+
+
+def synthetic_lecture(seed: int = 0, n_frames: int = 40, height: int = 96,
+                      width: int = 128, n_boards: int = 2,
+                      glyphs_per_board: int = 5, jitter: float = 0.0,
+                      glyph_size: Tuple[int, int] = (16, 20)):
+    """Generate a synthetic lecture.
+
+    The timeline is split into ``n_boards`` eras; each era writes
+    ``glyphs_per_board`` glyphs at staggered times, then everything is erased
+    at the era boundary (the ground-truth segmentation split).
+
+    Args:
+      jitter: probability of dropping each foreground pixel per frame
+        (exercises the partial-overlap matching thresholds).
+
+    Returns:
+      (frames, glyphs, erase_times): frames is uint8 [T, H, W] (0/255),
+      glyphs is the placed glyph list, erase_times the era boundaries.
+    """
+    rng = np.random.default_rng(seed)
+    glyphs, erase_times = _plan_glyphs(rng, n_frames, height, width,
+                                       n_boards, glyphs_per_board, glyph_size)
 
     frames = np.zeros((n_frames, height, width), dtype=np.uint8)
     for t in range(n_frames):
-        for glyph in glyphs:
-            if glyph.t_write <= t and (glyph.t_erase is None or t < glyph.t_erase):
-                h, w = glyph.mask.shape
-                region = frames[t, glyph.y:glyph.y + h, glyph.x:glyph.x + w]
-                np.maximum(region, glyph.mask, out=region)
+        frames[t] = render_binary_frame(glyphs, t, height, width)
         if jitter > 0.0:
             drop = rng.random(frames[t].shape) < jitter
             frames[t][drop] = 0
@@ -168,6 +186,98 @@ def threshold_binarizer_variables(net_config, rng_key=None,
                -sharpness * net_config.in_channels * t_norm)
 
     return variables
+
+
+class SyntheticRGBLectureSource:
+    """Streaming full-lecture-scale RGB source: frames render on demand.
+
+    A real AccessMath lecture is ~1 h sampled at 1 FPS — 3,000-5,500 frames
+    at 1080p (reference: ACCESS2021_release/README.md:16, 34 lectures in
+    lecture_data/db_LectureMath.xml). Materializing that as RGB would be
+    >20 GB, so this source renders each frame when the pipeline asks for it
+    (memory stays O(one frame)). Without jitter the frame content is
+    piecewise-constant between glyph write/erase events, so renders are
+    cached per content segment and the per-frame cost is a uint8 copy.
+
+    Duck-types VideoFrameSource (frames/batches/_pack) like ArraySource.
+    """
+
+    forced_resolution = None
+
+    def __init__(self, seed: int = 0, n_frames: int = 3600,
+                 height: int = 1080, width: int = 1920, n_boards: int = 10,
+                 glyphs_per_board: int = 120,
+                 glyph_size: Tuple[int, int] = (40, 60), fps: float = 1.0):
+        rng = np.random.default_rng(seed)
+        self.glyphs, self.erase_times = _plan_glyphs(
+            rng, n_frames, height, width, n_boards, glyphs_per_board,
+            glyph_size)
+        self.n_frames = n_frames
+        self.height = height
+        self.width = width
+        self.fps = fps
+        self._seed = seed
+
+        bg_rng = np.random.default_rng(seed + 1)
+        background = np.full((height, width, 3), 230, dtype=np.float32)
+        background += bg_rng.normal(0, 4, (height, width, 3))
+        self._background = np.clip(background, 0, 255).astype(np.uint8)
+
+        events = {0}
+        for glyph in self.glyphs:
+            events.add(glyph.t_write)
+            if glyph.t_erase is not None:
+                events.add(glyph.t_erase)
+        self._changes = sorted(t for t in events if 0 <= t < n_frames)
+        self._cache_segment = None
+        self._cache = None
+
+    # ------------------------------------------------------------ rendering
+
+    def _segment_start(self, t: int) -> int:
+        import bisect
+
+        return self._changes[bisect.bisect_right(self._changes, t) - 1]
+
+    def binary_frame(self, t: int) -> np.ndarray:
+        """Ground-truth ink mask (0/255) of frame ``t`` at source size."""
+        return render_binary_frame(self.glyphs, t, self.height, self.width)
+
+    def rgb_frame(self, t: int) -> np.ndarray:
+        segment = self._segment_start(t)
+        if self._cache_segment != segment:
+            binary = self.binary_frame(segment)
+            frame = self._background.copy()
+            ink = binary > 0
+            ink_rng = np.random.default_rng((self._seed, segment))
+            frame[ink] = np.clip(
+                ink_rng.normal(35, 10, (int(ink.sum()), 3)), 0, 255
+            ).astype(np.uint8)
+            self._cache = frame
+            self._cache_segment = segment
+        return self._cache
+
+    # ---------------------------------------------- VideoFrameSource surface
+
+    def frames(self, frames_limit: int = 0):
+        n = self.n_frames
+        if frames_limit:
+            n = min(n, frames_limit)
+        for t in range(n):
+            yield (t / self.fps) * 1000.0, t, self.rgb_frame(t)
+
+    def batches(self, batch_size: int, frames_limit: int = 0,
+                pad_last: bool = True):
+        from ..pipeline.video import VideoFrameSource
+
+        return VideoFrameSource.batches(self, batch_size, frames_limit,
+                                        pad_last)
+
+    @staticmethod
+    def _pack(buffer, batch_size: int, pad_last: bool):
+        from ..pipeline.video import VideoFrameSource
+
+        return VideoFrameSource._pack(buffer, batch_size, pad_last)
 
 
 def synthetic_rgb_lecture(seed: int = 0, n_frames: int = 8, height: int = 96,
