@@ -982,13 +982,32 @@ def rgb_to_yuv420_host(frames: "np.ndarray") -> "np.ndarray":
     return out
 
 
+def device_halve(rgb_uint8: jnp.ndarray, halvings: int) -> jnp.ndarray:
+    """On-device 2x box downscale (INTER_AREA semantics: 2x2 mean, rounded)
+    applied ``halvings`` times. Device-side placement of the >2.5MP halving
+    rule (reference FCN_lecturenet.py:434-437 halves HOST-side with PIL
+    LANCZOS): ships full-res pixels up the link but frees the host CPU —
+    the right trade on a locally attached chip, the wrong one behind a
+    bandwidth-bound tunnel (measured; see bench.py --1080p). Odd trailing
+    rows/columns are dropped, like cv2.resize to floor(dim/2)."""
+    for _ in range(halvings):
+        b, h, w, c = rgb_uint8.shape
+        x = rgb_uint8[:, :h - h % 2, :w - w % 2].astype(jnp.float32)
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        rgb_uint8 = jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
+    return rgb_uint8
+
+
 def make_packed_binarizer(model: FCNLectureNet, variables,
-                          threshold: int = 128, input_format: str = "rgb"):
+                          threshold: int = 128, input_format: str = "rgb",
+                          pre_halvings: int = 0):
     """Like make_binarizer(force_binary=True) but returns only the packed
     binary bitmap; unpack host-side with np.unpackbits.
 
     ``input_format='yuv420'`` takes uint8 I420 planes [B, H*3/2, W] and
-    reconstructs RGB on device (half the upload bytes of RGB)."""
+    reconstructs RGB on device (half the upload bytes of RGB).
+    ``pre_halvings`` box-halves the frames on device before the net
+    (device-side downscale placement; see device_halve)."""
 
     @jax.jit
     def binarize(frames_uint8):
@@ -996,6 +1015,8 @@ def make_packed_binarizer(model: FCNLectureNet, variables,
             rgb_uint8 = yuv420_to_rgb(frames_uint8)
         else:
             rgb_uint8 = frames_uint8
+        if pre_halvings:
+            rgb_uint8 = device_halve(rgb_uint8, pre_halvings)
         x = prepare_images(rgb_uint8)
         x, (h, w) = pad_to_multiple(x)
         bin_logits, _, _ = model.apply(variables, x, train=False)

@@ -84,7 +84,9 @@ class Binarizer:
                  threshold: int = 128,
                  pipeline_depth: Optional[int] = None, mesh=None,
                  fold_bn: bool = True, s2d_heads: bool = True,
-                 upload_format: str = "auto"):
+                 upload_format: str = "auto", downscale: str = "host",
+                 downscale_filter: str = "lanczos",
+                 max_model_pixels: int = 2_500_000):
         """``mesh`` (jax.sharding.Mesh with 'data'/'model' axes) shards the
         frame axis across chips — params replicate (or channel-shard over
         'model' when that axis is >1) and GSPMD inserts the collectives.
@@ -101,7 +103,27 @@ class Binarizer:
         device (half the upload bytes — what the video codec stored
         anyway; differs from the RGB path only by BT.601 chroma rounding).
         'auto' picks yuv420 behind a remote transfer tunnel where stage 01
-        is upload-bandwidth-bound, rgb otherwise. Config: UPLOAD_FORMAT."""
+        is upload-bandwidth-bound, rgb otherwise. Config: UPLOAD_FORMAT.
+
+        ``downscale``: where the >2.5MP halving (resolve_model_size) runs.
+        'host' (default) halves before upload — reference-parity PIL
+        LANCZOS filter, and 4x fewer bytes up the link per halving.
+        'device' uploads full-res frames and box-halves on chip
+        (device_halve; packed path only) — frees the 1-core host at the
+        cost of 4x upload bytes; right only when host CPU, not link
+        bandwidth, is the bottleneck (measured A/B: bench.py --1080p).
+        Config: DOWNSCALE_PLACEMENT.
+
+        ``downscale_filter``: host filter — 'lanczos' (reference parity,
+        FCN_lecturenet.py:436) or 'area' (cv2 INTER_AREA, ~10x faster on
+        this host; output may differ from the reference near glyph edges).
+        Config: DOWNSCALE_FILTER.
+
+        ``max_model_pixels``: the halving cap. The reference hardcodes
+        2.5 MP (FCN_lecturenet.py:434) — note 1920x1080 is 2.07 MP, so
+        real lectures run the net at FULL resolution there. Lowering the
+        cap (e.g. to 2_000_000) trades fidelity for ~4x speed per halving.
+        Config: BINARIZATION_MAX_PIXELS."""
         want_fold = fold_bn and not model.fold_bn and "batch_stats" in variables
         want_s2d = s2d_heads and not model.s2d_heads
         if want_fold or want_s2d:
@@ -161,14 +183,25 @@ class Binarizer:
         if upload_format not in ("rgb", "yuv420"):
             raise ValueError(f"unknown upload format: {upload_format!r}")
         self.upload_format = upload_format
+        if downscale not in ("host", "device"):
+            raise ValueError(f"unknown downscale placement: {downscale!r}")
+        if downscale_filter not in ("lanczos", "area"):
+            raise ValueError(f"unknown downscale filter: {downscale_filter!r}")
+        if downscale == "device" and not force_binary:
+            downscale = "host"  # full-output path keeps host-side parity
+        self.downscale = downscale
+        self.downscale_filter = downscale_filter
+        self.max_model_pixels = max_model_pixels
         if force_binary:
             from ..models.fcn_lecturenet import make_packed_binarizer
 
             self._packed_fn = make_packed_binarizer(
                 model, variables, threshold=threshold,
                 input_format=upload_format)
+            self._packed_fn_format = upload_format
         else:
             self._packed_fn = None
+            self._packed_fn_format = None
 
     @classmethod
     def from_config(cls, config: Config, allow_random: bool = False,
@@ -182,6 +215,13 @@ class Binarizer:
         model = FCNLectureNet(net_config, dtype=dtype)
         kwargs.setdefault("upload_format",
                           config.get_str("UPLOAD_FORMAT", "auto"))
+        kwargs.setdefault("downscale",
+                          config.get_str("DOWNSCALE_PLACEMENT", "host"))
+        kwargs.setdefault("downscale_filter",
+                          config.get_str("DOWNSCALE_FILTER", "lanczos"))
+        kwargs.setdefault("max_model_pixels",
+                          config.get_int("BINARIZATION_MAX_PIXELS",
+                                         2_500_000))
 
         model_dir = config.get_str("BINARIZATION_FCN_LECTURENET_DIR", "models")
         model_file = config.get_str("BINARIZATION_FCN_LECTURENET_FILENAME",
@@ -324,22 +364,37 @@ class Binarizer:
                 first = batch
                 h, w = batch.frames.shape[1:3]
                 full_size = (w, h)
-                model_size = resolve_model_size(w, h)
+                model_size = resolve_model_size(w, h, self.max_model_pixels)
+                device_halvings = 0
+                if (self.downscale == "device" and use_packed and
+                        model_size != full_size):
+                    dw, dh = full_size
+                    while dw * dh > self.max_model_pixels:
+                        dw, dh = int(dw / 2), int(dh / 2)
+                        device_halvings += 1
+                # I420 needs even width and height % 4 at the UPLOAD size
+                # (full-res when the halving runs on device) — the U/V
+                # planes must reshape to (H/2, W/2) from H/4 buffer rows
+                upload_size = full_size if device_halvings else model_size
                 if self.upload_format == "yuv420" and \
-                        (model_size[0] % 2 or model_size[1] % 4):
-                    # I420 needs even width and height % 4 (the U/V planes
-                    # must reshape to (H/2, W/2) from H/4 buffer rows);
-                    # rebuild the packed fn for RGB
+                        (upload_size[0] % 2 or upload_size[1] % 4):
+                    self.upload_format = "rgb"
+                if use_packed and (device_halvings or
+                                   self._packed_fn_format !=
+                                   self.upload_format):
                     from ..models.fcn_lecturenet import make_packed_binarizer
 
-                    self.upload_format = "rgb"
                     self._packed_fn = make_packed_binarizer(
-                        self.model, self.variables, threshold=self.threshold)
+                        self.model, self.variables, threshold=self.threshold,
+                        input_format=self.upload_format,
+                        pre_halvings=device_halvings)
+                    self._packed_fn_format = self.upload_format
 
             frames = batch.frames
-            if model_size != full_size:
+            if model_size != full_size and not device_halvings:
                 t0 = pc()
-                frames = _downscale_batch(frames, model_size)
+                frames = _downscale_batch(frames, model_size,
+                                          self.downscale_filter)
                 stats["downscale_s"] += pc() - t0
 
             if use_packed and self.upload_format == "yuv420":
@@ -397,7 +452,7 @@ class Binarizer:
             except StopIteration:
                 return
             h, w = first[2].shape[:2]
-            mw, mh = resolve_model_size(w, h)
+            mw, mh = resolve_model_size(w, h, self.max_model_pixels)
             batch_size = default_batch_size(mw, mh)
             if self.mesh is not None:
                 data_size = self.mesh.shape["data"]
@@ -420,13 +475,24 @@ class Binarizer:
         yield from source.batches(batch_size, frames_limit)
 
 
-def _downscale_batch(frames: np.ndarray, model_size: Tuple[int, int]) -> np.ndarray:
-    """Iterative halving with LANCZOS, matching the reference's PIL resize
-    (FCN_lecturenet.py:436 uses PIL.Image.LANCZOS)."""
+def _downscale_batch(frames: np.ndarray, model_size: Tuple[int, int],
+                     filter: str = "lanczos") -> np.ndarray:
+    """Iterative halving on host. ``filter='lanczos'`` matches the
+    reference's PIL resize (FCN_lecturenet.py:436 uses PIL.Image.LANCZOS);
+    'area' uses cv2 INTER_AREA (box mean) — ~10x faster per frame on this
+    1-core host, pixel values differ slightly near edges."""
+    import cv2
     from PIL import Image
 
     out = np.empty((frames.shape[0], model_size[1], model_size[0], 3), np.uint8)
     for k in range(frames.shape[0]):
+        if filter == "area":
+            img = frames[k]
+            while img.shape[0] * img.shape[1] > model_size[0] * model_size[1]:
+                img = cv2.resize(img, (img.shape[1] // 2, img.shape[0] // 2),
+                                 interpolation=cv2.INTER_AREA)
+            out[k] = img
+            continue
         img = Image.fromarray(frames[k])
         # halve until the pixel count reaches the target's — model_size
         # (from resolve_model_size) is the single source of the halving
