@@ -107,10 +107,21 @@ class VideoFrameSource:
                 strategy = self._pick_strategy(capture, step)
 
             if strategy == "seek" and n_frames > 0:
+                actual_count = None
                 for frame_idx in range(phase, n_frames, step):
                     capture.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
                     ok, frame = capture.read()
                     if not ok:
+                        # decode-count correction: a truncated/corrupt file
+                        # keeps its header frame count (CAP_PROP_FRAME_COUNT
+                        # over-reports — observed on truncated MJPG/AVI), so
+                        # a failed read means the END of real data, not of
+                        # the header's claim. Count the true length with a
+                        # demux-only grab pass so the multi-file index/time
+                        # offsets below stay consistent with what the grab
+                        # strategy (and the reference's decode loop,
+                        # video_processor.py:124-166) would report.
+                        actual_count = self._count_decodable(capture)
                         break
                     if skip_first:
                         skip_first = False
@@ -126,7 +137,7 @@ class VideoFrameSource:
                     if frames_limit and emitted >= frames_limit:
                         capture.release()
                         return
-                frame_idx = n_frames
+                frame_idx = n_frames if actual_count is None else actual_count
             else:
                 frame_idx = 0
                 while True:
@@ -156,6 +167,20 @@ class VideoFrameSource:
             abs_index_offset += frame_idx
             abs_time_offset += total_time
             capture.release()
+
+    @staticmethod
+    def _count_decodable(capture) -> int:
+        """True frame count of an already-open capture by demux-only grabs
+        from frame 0 — the correction for headers whose CAP_PROP_FRAME_COUNT
+        over-reports (truncated recordings). grab() does not decode pixels,
+        so this is cheap even for long files."""
+        import cv2
+
+        capture.set(cv2.CAP_PROP_POS_FRAMES, 0)
+        count = 0
+        while capture.grab():
+            count += 1
+        return count
 
     @staticmethod
     def _pick_strategy(capture, step: int) -> str:
