@@ -1026,11 +1026,21 @@ def _wait_for_backend():
 
 
 def _load_last_good():
-    try:
-        with open(LAST_GOOD_FILE) as fh:
-            return json.load(fh)
-    except (OSError, ValueError):
-        return None
+    """Most recent good headline: the untracked history file when present,
+    else the newest committed round snapshot (fresh checkouts have no
+    history file — a degraded headline must still carry real numbers, and
+    _update_last_good must still seed best_known from prior rounds)."""
+    import glob as _glob
+
+    snaps = sorted(_glob.glob(os.path.join(
+        os.path.dirname(LAST_GOOD_FILE), "BENCH_LAST_GOOD_r*_snapshot.json")))
+    for path in [LAST_GOOD_FILE] + snaps[::-1]:
+        try:
+            with open(path) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            continue
+    return None
 
 
 def _update_last_good(headline):

@@ -77,11 +77,14 @@ def test_watchdog_emits_degraded_headline(tmp_path):
     assert line["last_good"] and line["last_good"]["value"] > 0
 
 
-def test_last_good_record_is_valid_headline_json():
-    """The committed seed record must parse and carry the headline keys the
-    degraded path embeds (a malformed seed would silently drop to null)."""
-    with open(os.path.join(REPO, "BENCH_LAST_GOOD.json")) as fh:
-        rec = json.load(fh)
+def test_last_good_record_is_valid_headline_json(bench):
+    """The record the degraded path embeds must parse and carry the
+    headline keys (a malformed seed would silently drop to null). On a
+    fresh checkout the untracked history file is absent and the loader
+    falls back to the newest committed round snapshot — this validates
+    whichever source is live."""
+    rec = bench._load_last_good()
+    assert rec is not None, "no last-good source (snapshot missing?)"
     for key in ("metric", "value", "unit", "vs_baseline",
                 "stage01_device_fps", "mfu", "device"):
         assert key in rec, key
