@@ -1,10 +1,12 @@
-"""Worker process for tests/test_multiprocess_mesh.py: one host of a
-2-process x 4-virtual-CPU-device global mesh. Runs the dp x tp train step
-and frame-sharded binarization across the process boundary and writes its
-results (losses + local binary rows) to LM_OUT_PATH.
+"""Worker process for tests/test_multiprocess_mesh.py: one host of an
+N-process x M-virtual-CPU-device global 8-device mesh (2x4 and 4x2
+configurations). Runs the dp x tp train step and frame-sharded
+binarization across the process boundary and writes its results (losses +
+local binary rows) to LM_OUT_PATH.
 
 Launched as a subprocess — NOT a pytest module. Env contract:
-LM_COORDINATOR, LM_NUM_PROCESSES, LM_PROCESS_ID, LM_OUT_PATH.
+LM_COORDINATOR, LM_NUM_PROCESSES, LM_PROCESS_ID, LM_OUT_PATH,
+LM_LOCAL_DEVICES (virtual devices per process, default 4).
 """
 
 import json
@@ -13,7 +15,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+LOCAL_DEVICES = int(os.environ.get("LM_LOCAL_DEVICES", "4"))
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=%d" % LOCAL_DEVICES)
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax  # noqa: E402
@@ -35,8 +39,9 @@ from mp_workload import (NET_CONFIG, make_train_batch,  # noqa: E402
 
 
 def main():
-    assert jax.process_count() == 2
-    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+    assert jax.process_count() == int(os.environ["LM_NUM_PROCESSES"])
+    assert len(jax.devices()) == 8
+    assert len(jax.local_devices()) == LOCAL_DEVICES
     mesh = make_mesh(MeshSpec(data=4, model=2))
     # establish all cross-process Gloo contexts while host skew is small:
     # the communicator rendezvous has a ~30 s deadline, far shorter than
