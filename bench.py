@@ -774,6 +774,12 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
     # graphs remove those casts, so bf16 gets to run the MXU at rate
     sweep += [(b, "bfloat16", v) for b in (batch_sizes[0], batch_sizes[-1])
               for v in ("train_s2d", "frozen_fold_s2d")]
+    # bn_dtype=bf16 (VERDICT r4 item 4): BN statistics + normalization in
+    # bf16 (running buffers fp32) — removes the fp32 BN casts that make
+    # plain-layout bf16 lose to fp32, and keeps saved-for-backward BN
+    # activations bf16 in the s2d layout
+    sweep += [(b, "bfloat16", v) for b in (batch_sizes[0], batch_sizes[-1])
+              for v in ("bn_bf16", "train_s2d_bn_bf16")]
     # frozen-BN (warm-start) phase variants: plain eval-mode BN, traced BN
     # folding, and folding + s2d-domain head convs (VERDICT r3 item 5 —
     # both levers measured, integrate-or-retire)
@@ -783,16 +789,29 @@ def measure_training(crop: int = 256, batch_sizes=(8, 16, 32, 48, 64),
     # train-mode BN s2d path (PhaseBatchNorm) — the from-scratch lever
     for b in (batch_sizes[0], 32, batch_sizes[-1]):
         sweep.append((b, "float32", "train_s2d"))
+    # LM_BENCH_TRAIN_SWEEP="64:bfloat16:train_s2d_bn_bf16,8:float32:" runs
+    # only the named (batch:dtype:variant) entries — for A/B'ing one lever
+    # without paying the full sweep's compile wall (empty variant = None)
+    override = os.environ.get("LM_BENCH_TRAIN_SWEEP")
+    if override:
+        sweep = []
+        for item in override.split(","):
+            b, dt, var = item.strip().split(":")
+            sweep.append((int(b), dt, var or None))
     failed_keys = set()
     for batch, dtype, variant in sweep:
         # larger batches can only OOM harder WITHIN one (dtype, variant)
         # sweep; a plain-fp32 OOM must not skip the lighter variant entries
         if (dtype, variant) in failed_keys:
             continue
-        model = FCNLectureNet(net_config,
-                              dtype=jnp.bfloat16 if dtype == "bfloat16"
-                              else jnp.float32,
-                              s2d_train=(variant == "train_s2d"))
+        model = FCNLectureNet(
+            net_config,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+            s2d_train=(variant is not None
+                       and variant.startswith("train_s2d")),
+            bn_dtype=jnp.bfloat16 if (variant is not None
+                                      and variant.endswith("bn_bf16"))
+            else jnp.float32)
         trainer_kwargs = {}
         if variant is not None and variant.startswith("frozen"):
             trainer_kwargs = {

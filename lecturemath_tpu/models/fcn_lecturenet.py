@@ -257,19 +257,24 @@ class TorchBatchNorm(nn.Module):
                                lambda: jnp.ones((features,), jnp.float32))
         xf = x.astype(self.dtype)
         if self.use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            mean = ra_mean.value.astype(self.dtype)
+            var = ra_var.value.astype(self.dtype)
         else:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axes)
             var = jnp.mean(jnp.square(xf - mean), axes)
             if not self.is_initializing():
                 n = float(np.prod([x.shape[a] for a in axes]))
-                unbiased = var * (n / max(n - 1.0, 1.0))
+                # running buffers accumulate fp32 regardless of the stats
+                # compute dtype (bn_dtype=bf16 mode)
+                unbiased = (var * (n / max(n - 1.0, 1.0))).astype(jnp.float32)
                 ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1.0 - self.momentum) * mean)
+                                 + (1.0 - self.momentum)
+                                 * mean.astype(jnp.float32))
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1.0 - self.momentum) * unbiased)
-        return (xf - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
+        return ((xf - mean) / jnp.sqrt(var + self.epsilon)
+                * scale.astype(self.dtype) + bias.astype(self.dtype))
 
 
 class PhaseBatchNorm(nn.Module):
@@ -297,19 +302,22 @@ class PhaseBatchNorm(nn.Module):
         b, h, w, _ = x.shape
         xf = x.astype(self.dtype).reshape(b, h, w, self.phases, features)
         if self.use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            mean = ra_mean.value.astype(self.dtype)
+            var = ra_var.value.astype(self.dtype)
         else:
             axes = (0, 1, 2, 3)
             mean = jnp.mean(xf, axes)
             var = jnp.mean(jnp.square(xf - mean), axes)
             if not self.is_initializing():
                 n = float(b * h * w * self.phases)
-                unbiased = var * (n / max(n - 1.0, 1.0))
+                unbiased = (var * (n / max(n - 1.0, 1.0))).astype(jnp.float32)
                 ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1.0 - self.momentum) * mean)
+                                 + (1.0 - self.momentum)
+                                 * mean.astype(jnp.float32))
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1.0 - self.momentum) * unbiased)
-        y = (xf - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
+        y = ((xf - mean) / jnp.sqrt(var + self.epsilon)
+             * scale.astype(self.dtype) + bias.astype(self.dtype))
         return y.reshape(b, h, w, self.phases * features)
 
 
@@ -324,6 +332,7 @@ class _S2DConvBNParts(nn.Module):
     block: int
     splits: Tuple[int, ...]
     dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, parts, train: bool):
@@ -337,7 +346,7 @@ class _S2DConvBNParts(nn.Module):
         h = _s2d_conv_parts(parts, kernels, cb, self.block, self.dtype)
         return PhaseBatchNorm(self.block ** 2,
                               use_running_average=not train,
-                              dtype=jnp.float32, name="bn")(h)
+                              dtype=self.bn_dtype, name="bn")(h)
 
 
 class _S2DUpBlockTrain(nn.Module):
@@ -350,6 +359,7 @@ class _S2DUpBlockTrain(nn.Module):
     conv_features: int
     kernel: int
     dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip_s, train: bool):
@@ -362,12 +372,13 @@ class _S2DUpBlockTrain(nn.Module):
                                                                 4 * up)
         y = jnp.dot(x.astype(dt), w1) + jnp.tile(db.astype(dt), 4)
         y = PhaseBatchNorm(4, use_running_average=not train,
-                           dtype=jnp.float32, name="bn")(y)
+                           dtype=self.bn_dtype, name="bn")(y)
         y = nn.gelu(y, approximate=False).astype(dt)
 
         skip_features = skip_s.shape[-1] // 4
         h = _S2DConvBNParts(self.conv_features, self.kernel, 2,
                             (up, skip_features), dtype=dt,
+                            bn_dtype=self.bn_dtype,
                             name="conv_block")([y, skip_s], train)
         return nn.gelu(h, approximate=False).astype(dt)
 
@@ -384,6 +395,7 @@ class ConvBNAct(nn.Module):
     use_gelu: bool = True
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    bn_dtype: Any = jnp.float32
 
     s2d_block: int = 0  # >0: compute the conv via s2d_conv_same(block)
 
@@ -398,7 +410,8 @@ class ConvBNAct(nn.Module):
                         dtype=self.dtype, name="conv")(x)
         if not self.fold_bn:
             x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+                             epsilon=1e-5, dtype=self.bn_dtype,
+                             name="bn")(x)
         if self.use_gelu:
             x = nn.gelu(x, approximate=False)
         return x.astype(self.dtype)
@@ -415,6 +428,7 @@ class UpBlock(nn.Module):
     kernel: int
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip, train: bool):
@@ -424,14 +438,16 @@ class UpBlock(nn.Module):
                              name="deconv")(x)
         if not self.fold_bn:
             x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+                             epsilon=1e-5, dtype=self.bn_dtype,
+                             name="bn")(x)
         x = nn.gelu(x, approximate=False).astype(self.dtype)
         # crop to the skip's spatial dims (handles odd encoder sizes the way
         # the reference does via ConvTranspose2d(output_size=...))
         x = x[:, :skip.shape[1], :skip.shape[2], :]
         x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
         x = ConvBNAct(self.conv_features, self.kernel, dtype=self.dtype,
-                      fold_bn=self.fold_bn, name="conv_block")(x, train)
+                      fold_bn=self.fold_bn, bn_dtype=self.bn_dtype,
+                      name="conv_block")(x, train)
         return x
 
 
@@ -455,6 +471,13 @@ class FCNLectureNet(nn.Module):
     # BN, unlike the fold_bn fast path. Requires H, W % 32 == 0 and
     # pixel_kernel >= kernel; parity-tested vs torch in test_train_parity.
     s2d_train: bool = False
+    # dtype of the live-BN statistics reduction + normalization (running
+    # buffers always accumulate fp32). Default fp32 = torch-exact parity.
+    # bfloat16 with TRAIN_PRECISION=bf16 keeps the saved-for-backward BN
+    # activations in bf16 — measured lever for the from-scratch training
+    # MFU (VERDICT r4 item 4); quality tracked in
+    # tests/test_training.py::test_bf16_bn_training_tracks_fp32.
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x0, train: bool = False, mode: str = "full"):
@@ -492,12 +515,14 @@ class FCNLectureNet(nn.Module):
         skips = []
         for level, features in enumerate(cfg.down_filters, start=1):
             pre = ConvBNAct(features, cfg.kernel_size, dtype=dt,
-                            fold_bn=self.fold_bn, name=f"down_{level}")(x, train)
+                            fold_bn=self.fold_bn, bn_dtype=self.bn_dtype,
+                            name=f"down_{level}")(x, train)
             skips.append(pre)
             x = nn.max_pool(pre, (2, 2), strides=(2, 2))
 
         x = ConvBNAct(cfg.mid_filters, cfg.kernel_size, dtype=dt,
-                      fold_bn=self.fold_bn, name="mid")(x, train)
+                      fold_bn=self.fold_bn, bn_dtype=self.bn_dtype,
+                      name="mid")(x, train)
 
         if mode == "encode":
             return x.astype(jnp.float32)
@@ -506,6 +531,7 @@ class FCNLectureNet(nn.Module):
         for level in range(5, 0, -1):
             x = UpBlock(cfg.upsample_filters[level - 1], cfg.up_filters[level - 1],
                         cfg.kernel_size, dtype=dt, fold_bn=self.fold_bn,
+                        bn_dtype=self.bn_dtype,
                         name=f"up_{level}")(x, skips[level - 1], train)
 
         x_up1 = x
@@ -516,7 +542,7 @@ class FCNLectureNet(nn.Module):
                       name="rec_conv")(x_up1)
         if not self.fold_bn:
             rec = TorchBatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, dtype=jnp.float32,
+                               epsilon=1e-5, dtype=self.bn_dtype,
                                name="rec_bn")(rec)
         rec = jnp.tanh(rec).astype(dt)
 
@@ -536,7 +562,7 @@ class FCNLectureNet(nn.Module):
         if not self.fold_bn:
             text_logits = TorchBatchNorm(use_running_average=not train,
                                        momentum=0.9, epsilon=1e-5,
-                                       dtype=jnp.float32,
+                                       dtype=self.bn_dtype,
                                        name="text_bn")(text_logits)
 
         # ---------------- binarization head ----------------
@@ -548,11 +574,11 @@ class FCNLectureNet(nn.Module):
         h = jnp.concatenate([diff, x_up1], axis=-1)
         h = ConvBNAct(cfg.pixel_features[0], pk, dtype=dt,
                       fold_bn=self.fold_bn, s2d_block=2 if s2d else 0,
-                      name="pixels_1")(h, train)
+                      bn_dtype=self.bn_dtype, name="pixels_1")(h, train)
         h = jnp.concatenate([diff, h], axis=-1)
         h = ConvBNAct(cfg.pixel_features[1], pk, dtype=dt,
                       fold_bn=self.fold_bn, s2d_block=s2d,
-                      name="pixels_2")(h, train)
+                      bn_dtype=self.bn_dtype, name="pixels_2")(h, train)
         h = jnp.concatenate([diff, h], axis=-1)
         if s2d:
             bin_logits = S2DConv(1, pk, s2d, dtype=dt, name="out_conv")(h)
@@ -563,7 +589,8 @@ class FCNLectureNet(nn.Module):
         if not self.fold_bn:
             bin_logits = TorchBatchNorm(use_running_average=not train,
                                       momentum=0.9, epsilon=1e-5,
-                                      dtype=jnp.float32, name="out_bn")(bin_logits)
+                                      dtype=self.bn_dtype,
+                                      name="out_bn")(bin_logits)
 
         return bin_logits, text_logits, rec
 
@@ -591,6 +618,7 @@ class FCNLectureNet(nn.Module):
         batch, h2, w2, _ = x0_s.shape
 
         h = _S2DConvBNParts(cfg.down_filters[0], k, 2, (c_in,), dtype=dt,
+                            bn_dtype=self.bn_dtype,
                             name="down_1")([x0_s], train)
         skip1_s = nn.gelu(h, approximate=False).astype(dt)
         x = skip1_s.reshape(batch, h2, w2, 4,
@@ -599,23 +627,27 @@ class FCNLectureNet(nn.Module):
         skips = [None]
         for level, features in enumerate(cfg.down_filters[1:], start=2):
             pre = ConvBNAct(features, k, dtype=dt,
+                            bn_dtype=self.bn_dtype,
                             name=f"down_{level}")(x, train)
             skips.append(pre)
             x = nn.max_pool(pre, (2, 2), strides=(2, 2))
-        x = ConvBNAct(cfg.mid_filters, k, dtype=dt, name="mid")(x, train)
+        x = ConvBNAct(cfg.mid_filters, k, dtype=dt,
+                      bn_dtype=self.bn_dtype, name="mid")(x, train)
 
         for level in range(5, 1, -1):
             x = UpBlock(cfg.upsample_filters[level - 1],
                         cfg.up_filters[level - 1], k, dtype=dt,
+                        bn_dtype=self.bn_dtype,
                         name=f"up_{level}")(x, skips[level - 1], train)
 
         xup_s = _S2DUpBlockTrain(cfg.upsample_filters[0], up1, k, dtype=dt,
+                                 bn_dtype=self.bn_dtype,
                                  name="up_1")(x, skip1_s, train)
 
         rec_k, rec_b = _ConvParams((k, k, up1, c_in), name="rec_conv")()
         rec_s = _s2d_conv_parts([xup_s], [rec_k], rec_b, 2, dt)
         rec_s = PhaseBatchNorm(4, use_running_average=not train,
-                               name="rec_bn")(rec_s)
+                               dtype=self.bn_dtype, name="rec_bn")(rec_s)
         rec_s = jnp.tanh(rec_s).astype(dt)
         if self.reconstruction_mode:
             return _depth_to_space(rec_s, 2, c_in)
@@ -623,6 +655,7 @@ class FCNLectureNet(nn.Module):
         text_k, text_b = _ConvParams((pk, pk, up1, 1), name="text_conv")()
         text_s = _s2d_conv_parts([xup_s], [text_k], text_b, 2, dt)
         text_s = PhaseBatchNorm(4, use_running_average=not train,
+                                dtype=self.bn_dtype,
                                 name="text_bn")(text_s)
 
         sig = jax.nn.sigmoid(text_s).astype(dt)
@@ -632,9 +665,11 @@ class FCNLectureNet(nn.Module):
         diff_s = diff_s.reshape(batch, h2, w2, 4 * c_in)
 
         h = _S2DConvBNParts(p1_n, pk, 2, (c_in, up1), dtype=dt,
+                            bn_dtype=self.bn_dtype,
                             name="pixels_1")([diff_s, xup_s], train)
         h = nn.gelu(h, approximate=False).astype(dt)
         h = _S2DConvBNParts(p2_n, pk, 2, (c_in, p1_n), dtype=dt,
+                            bn_dtype=self.bn_dtype,
                             name="pixels_2")([diff_s, h], train)
         h = nn.gelu(h, approximate=False).astype(dt)
 
@@ -644,7 +679,7 @@ class FCNLectureNet(nn.Module):
                                 [out_k[:, :, :c_in], out_k[:, :, c_in:]],
                                 out_b, 2, dt)
         bin_s = PhaseBatchNorm(4, use_running_average=not train,
-                               name="out_bn")(bin_s)
+                               dtype=self.bn_dtype, name="out_bn")(bin_s)
 
         return (_depth_to_space(bin_s, 2, 1), _depth_to_space(text_s, 2, 1),
                 _depth_to_space(rec_s, 2, c_in))

@@ -370,6 +370,20 @@ def run_phase(config: Config, phase_name: str, dataset,
     else:
         raise ValueError(f"TRAIN_PRECISION must be fp32 or bf16, "
                          f"got {precision!r}")
+    # TRAIN_BN_DTYPE = bf16 additionally computes the live-BN statistics
+    # reduction + normalization in bfloat16 (running buffers stay fp32) —
+    # only meaningful with TRAIN_PRECISION=bf16, where it keeps the
+    # saved-for-backward BN activations in bf16 (VERDICT r4 item 4;
+    # measured in BENCH_TRAIN.json bn_dtype rows, quality-tracked in
+    # tests/test_training.py::test_bf16_bn_training_tracks_fp32).
+    bn_precision = config.get_str("TRAIN_BN_DTYPE", "fp32").lower()
+    if bn_precision in ("fp32", "float32"):
+        bn_dtype = jnp.float32
+    elif bn_precision in ("bf16", "bfloat16"):
+        bn_dtype = jnp.bfloat16
+    else:
+        raise ValueError(f"TRAIN_BN_DTYPE must be fp32 or bf16, "
+                         f"got {bn_precision!r}")
     # from-scratch (train-mode BN) phases default to the s2d training
     # forward (PhaseBatchNorm; 231 -> 293 img/s at batch 64 fp32 on v5e,
     # +78% at batch 8; torch step parity in test_train_parity).
@@ -378,7 +392,7 @@ def run_phase(config: Config, phase_name: str, dataset,
     model = FCNLectureNet(net_config,
                           reconstruction_mode=spec.reconstruction_mode,
                           s2d_train=config.get_bool("TRAIN_S2D", True),
-                          dtype=dtype)
+                          dtype=dtype, bn_dtype=bn_dtype)
 
     if warm_start_path is not None and not os.path.exists(warm_start_path):
         # a typo'd path must not silently fall back to from-scratch training
