@@ -104,7 +104,10 @@ def run_pipeline(binarizer, rgb=None, source=None, width=None, height=None,
     # NOTE: the tracker runs at the MODEL size only when no halving applies
     # (binary frames come back resized to full size) — exactly the express
     # pipeline contract.
-    tracker = CCTracker(width, height, 0.925, 0.925, 85)
+    # slim mode (keep_frame_masks=False) mirrors the express pipeline: the
+    # full-lecture soak's RSS was dominated by retained per-frame mask crops
+    tracker = CCTracker(width, height, 0.925, 0.925, 85,
+                        keep_frame_masks=False)
     times, indices = [], []
     track_s = 0.0
     sample_binary = None

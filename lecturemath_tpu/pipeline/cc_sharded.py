@@ -47,6 +47,21 @@ def track_shard(ccs_per_frame: Sequence[List[CC]], width: int, height: int,
     return tracker
 
 
+def slim_frame_masks(tracker: CCTracker) -> CCTracker:
+    """Drop per-frame mask crops in place (and mark the tracker slim) —
+    the full-lecture memory lever (see CCTracker.keep_frame_masks).
+    First-seen masks in unique_ccs are untouched; stage-03 results are
+    identical (tested)."""
+    from dataclasses import replace
+
+    tracker.cc_idx_per_frame = [
+        [(uidx, cc if cc.img is None else replace(cc, img=None))
+         for uidx, cc in frame]
+        for frame in tracker.cc_idx_per_frame]
+    tracker.keep_frame_masks = False
+    return tracker
+
+
 def merge_trackers(left: CCTracker, right: CCTracker) -> CCTracker:
     """Fold the ``right`` shard's tracked frames into ``left`` (mutates and
     returns ``left``). Associative; equals sequential tracking over the
@@ -54,6 +69,11 @@ def merge_trackers(left: CCTracker, right: CCTracker) -> CCTracker:
     assert (left.width, left.height) == (right.width, right.height)
     assert (left.min_recall, left.min_precision, left.max_gap) == \
         (right.min_recall, right.min_precision, right.max_gap)
+    if not right.keep_frame_masks:
+        raise ValueError(
+            "merge_trackers: the right shard must retain per-frame masks "
+            "(keep_frame_masks=True) — its frames are re-matched into the "
+            "merged tracker. Only the accumulating LEFT side may run slim.")
 
     left_origin_end = len(left.unique_ccs)  # merged idx < this => left-origin
     mapping = {}  # right local uidx -> merged uidx
@@ -115,6 +135,8 @@ def _adopt_frame(left: CCTracker, frame: List[Tuple[int, CC]],
                  mapping: dict) -> None:
     """Apply one right-shard frame's local assignments to the merged state,
     mirroring add_frame_ccs' bookkeeping exactly."""
+    from dataclasses import replace
+
     t = left.img_idx
     entries: List[Tuple[int, CC]] = []
     for local_uidx, cc in frame:
@@ -128,6 +150,8 @@ def _adopt_frame(left: CCTracker, frame: List[Tuple[int, CC]],
             mapping[local_uidx] = merged_uidx
             entries.append((merged_uidx, cc))
     left._retire_inactive()
+    if not left.keep_frame_masks:
+        entries = [(uidx, replace(cc, img=None)) for uidx, cc in entries]
     left.cc_idx_per_frame.append(entries)
     left.img_idx += 1
 
@@ -149,12 +173,16 @@ class StreamingShardedTracker:
 
     def __init__(self, width: int, height: int, min_recall: float,
                  min_precision: float, max_gap: int, n_workers: int = 0,
-                 chunk_frames: int = 0):
+                 chunk_frames: int = 0, keep_frame_masks: bool = True):
         """``chunk_frames`` > 0 accumulates at least that many frames per
         shard (coarser shards, less per-shard IPC/merge overhead); 0 makes
         each add_frames() call — i.e. each drained device batch — its own
-        shard. Any granularity gives bit-identical results."""
+        shard. Any granularity gives bit-identical results.
+        ``keep_frame_masks=False`` runs the MERGED tracker slim (per-frame
+        mask crops dropped once folded in; shard-local trackers still carry
+        masks until their merge — bounded by one shard)."""
         self.params = (width, height, min_recall, min_precision, max_gap)
+        self.keep_frame_masks = keep_frame_masks
         self.chunk_frames = chunk_frames
         self._buffer: list = []
         self._pool = None
@@ -181,8 +209,11 @@ class StreamingShardedTracker:
             self._merge(_shard_worker(work))
 
     def _merge(self, tracker: CCTracker) -> None:
-        self._merged = tracker if self._merged is None else \
-            merge_trackers(self._merged, tracker)
+        if self._merged is None:
+            self._merged = (tracker if self.keep_frame_masks
+                            else slim_frame_masks(tracker))
+        else:
+            self._merged = merge_trackers(self._merged, tracker)
 
     def abort(self) -> None:
         """Release the worker pool without draining queued shards.
@@ -218,7 +249,8 @@ class StreamingShardedTracker:
         if self._merged is None:
             width, height, min_recall, min_precision, max_gap = self.params
             self._merged = CCTracker(width, height, min_recall,
-                                     min_precision, max_gap)
+                                     min_precision, max_gap,
+                                     keep_frame_masks=self.keep_frame_masks)
         return self._merged
 
 
@@ -232,7 +264,8 @@ def _shard_worker(args):
 def track_sharded(binaries: Sequence[np.ndarray], min_recall: float = 0.925,
                   min_precision: float = 0.925, max_gap: int = 85,
                   n_shards: int = 0, n_workers: int = 0,
-                  tree_reduce: bool = False) -> CCTracker:
+                  tree_reduce: bool = False,
+                  keep_frame_masks: bool = True) -> CCTracker:
     """Shard the frame axis, track each shard (optionally on worker
     processes), and merge. Returns a tracker identical to the sequential
     CCTracker over all frames.
@@ -252,7 +285,8 @@ def track_sharded(binaries: Sequence[np.ndarray], min_recall: float = 0.925,
     params = (width, height, min_recall, min_precision, max_gap)
 
     if n_shards <= 1:
-        tracker = CCTracker(width, height, min_recall, min_precision, max_gap)
+        tracker = CCTracker(width, height, min_recall, min_precision, max_gap,
+                            keep_frame_masks=keep_frame_masks)
         for frame in binaries:
             tracker.add_frame(frame)
         return tracker
@@ -271,14 +305,18 @@ def track_sharded(binaries: Sequence[np.ndarray], min_recall: float = 0.925,
         trackers = [_shard_worker(w) for w in work]
 
     if tree_reduce:
+        # intermediate merges serve as RIGHT sides of later merges, so they
+        # must keep masks — slim only the root, after the reduction
         while len(trackers) > 1:
             merged = [merge_trackers(trackers[k], trackers[k + 1])
                       if k + 1 < len(trackers) else trackers[k]
                       for k in range(0, len(trackers), 2)]
             trackers = merged
-        return trackers[0]
+        return (trackers[0] if keep_frame_masks
+                else slim_frame_masks(trackers[0]))
 
-    result = trackers[0]
+    result = trackers[0] if keep_frame_masks \
+        else slim_frame_masks(trackers[0])
     for tracker in trackers[1:]:
         result = merge_trackers(result, tracker)
     return result

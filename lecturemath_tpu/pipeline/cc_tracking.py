@@ -20,6 +20,7 @@ sweep), and active-set state lives in growable numpy arrays.
 
 from __future__ import annotations
 
+from dataclasses import replace
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -28,15 +29,27 @@ from ..data.cc import CC, extract_ccs, render_ccs
 
 
 class CCTracker:
+    # class-level default so pre-existing pickled trackers (the stage-02
+    # artifact stores the tracker itself) unpickle with full semantics
+    keep_frame_masks = True
+
     def __init__(self, width: int, height: int, min_recall: float = 0.925,
                  min_precision: float = 0.925, max_gap: int = 85,
-                 verbose: bool = False):
+                 verbose: bool = False, keep_frame_masks: bool = True):
         self.width = width
         self.height = height
         self.min_recall = min_recall
         self.min_precision = min_precision
         self.max_gap = max_gap
         self.verbose = verbose
+        # keep_frame_masks=False drops each frame's per-CC mask crops once
+        # matching is done (stage-03 computations only ever read the
+        # FIRST-SEEN masks in unique_ccs) — at full-lecture scale the
+        # per-frame crops dominate RSS (~MBs/frame at 1080p), so the
+        # streaming express/bench paths, which never pickle the tracker,
+        # run slim. The staged stage-02 CLI keeps masks: its artifact IS
+        # the tracker and the ST3D visualizer reads per-frame masks.
+        self.keep_frame_masks = keep_frame_masks
 
         self.unique_ccs: List[CC] = []
         # per unique CC: list of (frame_idx, raw_label) sightings
@@ -73,6 +86,11 @@ class CCTracker:
             self._match_frame(current, frame_entries)
 
         self._retire_inactive()
+        if not self.keep_frame_masks:
+            # slim copies only in the per-frame log — the first-sighting
+            # object kept by _add_unique in unique_ccs stays intact
+            frame_entries = [(uidx, replace(cc, img=None))
+                             for uidx, cc in frame_entries]
         self.cc_idx_per_frame.append(frame_entries)
         self.img_idx += 1
 
@@ -173,6 +191,10 @@ class CCTracker:
         return [[uidx for uidx, _ in frame] for frame in self.cc_idx_per_frame]
 
     def rebuilt_binary_frames(self) -> List[np.ndarray]:
+        if not self.keep_frame_masks:
+            raise ValueError(
+                "per-frame masks were dropped (keep_frame_masks=False) — "
+                "rebuild requires a tracker built with keep_frame_masks=True")
         return [render_ccs([cc for _, cc in frame], self.height, self.width)
                 for frame in self.cc_idx_per_frame]
 

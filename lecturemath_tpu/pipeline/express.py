@@ -69,16 +69,22 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
                     # exactly CC_ANALYSIS_SHARDS chunks instead.)
                     from .cc_sharded import StreamingShardedTracker
 
+                    # keep_frame_masks=False: express never pickles the
+                    # tracker (no stage-02 artifact) and stage-03+ only read
+                    # first-seen masks — dropping per-frame crops caps RSS
+                    # at full-lecture scale (~3 MB/frame at 1080p otherwise)
                     sharded = StreamingShardedTracker(
                         width, height, min_recall, min_precision, max_gap,
                         n_workers=config.get_int("CC_ANALYSIS_WORKERS", 0),
                         chunk_frames=config.get_int(
-                            "CC_ANALYSIS_CHUNK_FRAMES", 0))
+                            "CC_ANALYSIS_CHUNK_FRAMES", 0),
+                        keep_frame_masks=False)
                 else:
                     tracker = CCTracker(width=width, height=height,
                                         min_recall=min_recall,
                                         min_precision=min_precision,
-                                        max_gap=max_gap)
+                                        max_gap=max_gap,
+                                        keep_frame_masks=False)
             frame_times.extend(times)
             frame_indices.extend(indices)
             if sharded is not None:

@@ -284,3 +284,103 @@ def test_streaming_tracker_abort_releases_pool():
     # (whatever prefix was already folded, or an empty one)
     tracker.abort()
     assert tracker.finish() is not None
+
+
+# ------------------------------------------------- slim mode (memory lever)
+
+def _full_downstream(tracker: CCTracker, max_gap: int):
+    """Everything stage 03-05 derive from a tracker, through clean frames."""
+    tracker.split_stable_by_gaps(max_gap, 3)
+    stable = tracker.stable_cc_idxs(3)
+    time_ov, n_pairs, all_ov = tracker.compute_overlapping_stable(stable, 5)
+    groups, group_of = tracker.compute_groups(stable, time_ov, 0.0)
+    group_ages, groups_per_frame = tracker.compute_group_ages(groups)
+    conflicts = tracker.compute_conflicts(stable, all_ov, len(groups),
+                                          group_of)
+    group_images, group_boundaries = tracker.compute_group_images(
+        groups, group_ages, 0.5)
+    clean = tracker.clean_frames_from_groups(
+        groups, group_boundaries, groups_per_frame, group_ages, group_images)
+    return (stable, n_pairs, groups, group_ages, groups_per_frame, conflicts,
+            group_boundaries,
+            [img.tobytes() for imgs in group_images.values() for img in imgs],
+            [frame.tobytes() for frame in clean])
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_slim_tracker_matches_full_downstream(case):
+    """keep_frame_masks=False drops per-frame mask crops (the full-lecture
+    RSS driver) without changing ANY stage 03-05 output: stage-03
+    computations only read first-seen masks in unique_ccs."""
+    frames, _, _ = synthetic_lecture(
+        seed=case["seed"], n_frames=case["n_frames"], height=96, width=128,
+        n_boards=2, glyphs_per_board=5, jitter=case["jitter"])
+    min_r = min_p = 0.85
+    max_gap = case["max_gap"]
+
+    full = _sequential(frames, min_r, min_p, max_gap)
+    slim = CCTracker(128, 96, min_r, min_p, max_gap, keep_frame_masks=False)
+    for frame in frames:
+        slim.add_frame(frame)
+
+    # identity of assignments + unique (first-seen) masks intact
+    assert slim.unique_cc_frames == full.unique_cc_frames
+    for cc_a, cc_b in zip(full.unique_ccs, slim.unique_ccs):
+        np.testing.assert_array_equal(cc_a.img, cc_b.img)
+    # per-frame crops actually dropped (bbox/size metadata kept)
+    assert all(cc.img is None for f in slim.cc_idx_per_frame for _, cc in f)
+    assert [[(u, cc.min_x, cc.max_x, cc.min_y, cc.max_y, cc.size)
+             for u, cc in f] for f in slim.cc_idx_per_frame] == \
+        [[(u, cc.min_x, cc.max_x, cc.min_y, cc.max_y, cc.size)
+          for u, cc in f] for f in full.cc_idx_per_frame]
+
+    assert _full_downstream(slim, max_gap) == _full_downstream(full, max_gap)
+
+    with pytest.raises(ValueError, match="keep_frame_masks"):
+        slim.rebuilt_binary_frames()
+
+
+def test_slim_sharded_variants_match_full():
+    """Slim mode through every sharded frontend: left fold, tree reduction,
+    and the streaming tracker all equal the full sequential results."""
+    from lecturemath_tpu.pipeline.cc_sharded import StreamingShardedTracker
+
+    frames, _, _ = synthetic_lecture(seed=7, n_frames=40, height=96,
+                                     width=128, n_boards=2,
+                                     glyphs_per_board=5, jitter=0.03)
+    max_gap = 8
+    full = _sequential(frames, 0.85, 0.85, max_gap)
+    expected = _full_downstream(full, max_gap)
+
+    fold = track_sharded(frames, 0.85, 0.85, max_gap, n_shards=4,
+                         keep_frame_masks=False)
+    tree = track_sharded(frames, 0.85, 0.85, max_gap, n_shards=4,
+                         tree_reduce=True, keep_frame_masks=False)
+    streaming = StreamingShardedTracker(128, 96, 0.85, 0.85, max_gap,
+                                        keep_frame_masks=False)
+    for lo in range(0, len(frames), 7):
+        streaming.add_frames(frames[lo:lo + 7])
+    stream = streaming.finish()
+
+    for slim in (fold, tree, stream):
+        assert not slim.keep_frame_masks
+        assert all(cc.img is None
+                   for f in slim.cc_idx_per_frame for _, cc in f)
+        assert slim.unique_cc_frames == full.unique_cc_frames
+        assert _full_downstream(slim, max_gap) == expected
+
+
+def test_merge_refuses_slim_right_shard():
+    from lecturemath_tpu.data.cc import extract_ccs
+    from lecturemath_tpu.pipeline.cc_sharded import (slim_frame_masks,
+                                                     track_shard)
+
+    frames, _, _ = synthetic_lecture(seed=8, n_frames=8, height=96,
+                                     width=128, n_boards=1,
+                                     glyphs_per_board=4, jitter=0.0)
+    args = (128, 96, 0.85, 0.85, 7)
+    left = track_shard([extract_ccs(f) for f in frames[:4]], *args)
+    right = slim_frame_masks(
+        track_shard([extract_ccs(f) for f in frames[4:]], *args))
+    with pytest.raises(ValueError, match="right shard"):
+        merge_trackers(left, right)
