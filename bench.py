@@ -104,8 +104,10 @@ def run_pipeline(binarizer, rgb=None, source=None, width=None, height=None,
     # NOTE: the tracker runs at the MODEL size only when no halving applies
     # (binary frames come back resized to full size) — exactly the express
     # pipeline contract.
-    # slim mode (keep_frame_masks=False) mirrors the express pipeline: the
-    # full-lecture soak's RSS was dominated by retained per-frame mask crops
+    # slim mode (keep_frame_masks=False) mirrors the express pipeline —
+    # per-frame mask crops are one (small) term of full-lecture RSS; the
+    # dominant term is the tunnel's per-upload retention (PARITY.md
+    # "Full-lecture RSS"), contained by LM_BENCH_WORKER_MB below
     tracker = CCTracker(width, height, 0.925, 0.925, 85,
                         keep_frame_masks=False)
     times, indices = [], []
@@ -468,6 +470,42 @@ def _production_binarizer(batch_size=None, **kwargs):
     return Binarizer(model, variables, batch_size=batch_size, **kwargs)
 
 
+def _worker_production_binarizer(recycle_mb: float):
+    """WorkerBinarizer (pipeline/device_worker.py) over the production
+    threshold-head model. The child rebuilds its Binarizer from a Config,
+    so the synthetic threshold variables are materialized as a real
+    msgpack checkpoint once and the production FCNConfig widths are
+    spelled out as FCN_BINARIZER_NET_* keys."""
+    from lecturemath_tpu.core.config import Config
+    from lecturemath_tpu.models.fcn_lecturenet import FCNConfig
+    from lecturemath_tpu.pipeline.binarize import save_checkpoint_variables
+    from lecturemath_tpu.pipeline.device_worker import WorkerBinarizer
+    from lecturemath_tpu.utils.synthetic import threshold_binarizer_variables
+
+    net_config = FCNConfig()  # production widths 48..768
+    ckpt = "/tmp/lm_bench_threshold_ckpt.msgpack"
+    if not os.path.exists(ckpt):
+        save_checkpoint_variables(threshold_binarizer_variables(net_config),
+                                  ckpt)
+    values = {
+        "BINARIZATION_FCN_LECTURENET_DIR": os.path.dirname(ckpt),
+        "BINARIZATION_FCN_LECTURENET_FILENAME": os.path.basename(ckpt),
+        "FCN_BINARIZER_NET_MIDDLE_CONV_FILTERS_MIDDLE": net_config.mid_filters,
+        "FCN_BINARIZER_NET_PIXEL_FEATURES_1": net_config.pixel_features[0],
+        "FCN_BINARIZER_NET_PIXEL_FEATURES_2": net_config.pixel_features[1],
+        "FCN_BINARIZER_NET_KERNEL_SIZE": net_config.kernel_size,
+        "FCN_BINARIZER_NET_PIXEL_KERNEL_SIZE": net_config.pixel_kernel_size,
+    }
+    for i in range(1, 6):
+        values[f"FCN_BINARIZER_NET_DOWN_CONV_FILTERS_{i}"] = \
+            net_config.down_filters[i - 1]
+        values[f"FCN_BINARIZER_NET_UPSAMPLE_FILTERS_{i}"] = \
+            net_config.upsample_filters[i - 1]
+        values[f"FCN_BINARIZER_NET_UP_CONV_FILTERS_{i}"] = \
+            net_config.up_filters[i - 1]
+    return WorkerBinarizer(Config(values), recycle_mb=recycle_mb)
+
+
 def measure_long(n_frames=3600):
     """Full-lecture-scale soak (VERDICT r4 #1): a realistic AccessMath-scale
     lecture — n_frames samples (1 h @ 1 FPS), 1,200 unique CCs over 10
@@ -509,21 +547,38 @@ def measure_long(n_frames=3600):
                  "up_mbps": round(up_mbps, 1),
                  "down_mbps": round(down_mbps, 1)}, **res}
 
+    # LM_BENCH_WORKER_MB > 0: run the long lanes' device path through the
+    # recycled child process (pipeline/device_worker.py) — demonstrates the
+    # tunnel-leak containment at soak scale: the run_pipeline RSS
+    # checkpoints then track the PARENT, which no longer accumulates the
+    # per-upload retention (PARITY.md "Full-lecture RSS")
+    worker_mb = float(os.environ.get("LM_BENCH_WORKER_MB", "0"))
     for label, (w, h, glyph) in (("long_540p", (960, 540, (20, 30))),
                                  ("long_1080p", (1920, 1080, (40, 60)))):
         source = SyntheticRGBLectureSource(
             seed=0, n_frames=n_frames, height=h, width=w, n_boards=10,
             glyphs_per_board=120, glyph_size=glyph)
-        lane = _production_binarizer()
-        # compile + settle outside the timed run (no halving at either
-        # size: both are <= the 2.5MP cap, so the model input IS the
-        # source size and this warm batch matches the stream's shapes)
         from lecturemath_tpu.pipeline.binarize import default_batch_size
 
         batch = default_batch_size(w, h)
         warm = np.stack([source.rgb_frame(0)] * batch)
-        _fetch_barrier(lane._packed_fn(jnp.asarray(to_upload(lane, warm))))
-        rtt_s, up_mbps, down_mbps = probe_link(lane, warm)
+        if worker_mb > 0:
+            lane = _worker_production_binarizer(worker_mb)
+            # warm the CHILD's compile at the stream's shapes (one
+            # batch-sized throwaway stream); link probe rides the anchor
+            # binarizer — the worker exposes no in-process packed fn
+            list(lane.stream_source(SyntheticRGBLectureSource(
+                seed=1, n_frames=batch, height=h, width=w, n_boards=1,
+                glyphs_per_board=4, glyph_size=glyph)))
+            rtt_s, up_mbps, down_mbps = probe_link(binarizer, rgb)
+        else:
+            lane = _production_binarizer()
+            # compile + settle outside the timed run (no halving at either
+            # size: both are <= the 2.5MP cap, so the model input IS the
+            # source size and this warm batch matches the stream's shapes)
+            _fetch_barrier(lane._packed_fn(jnp.asarray(to_upload(lane,
+                                                                 warm))))
+            rtt_s, up_mbps, down_mbps = probe_link(lane, warm)
         elapsed, breakdown, res = run_pipeline(
             lane, source=source, width=w, height=h, n_frames=n_frames,
             min_keyframes=8, checkpoint_every=512)
@@ -542,6 +597,10 @@ def measure_long(n_frames=3600):
             "link": {"rtt_ms": round(rtt_s * 1e3, 1),
                      "up_mbps": round(up_mbps, 1),
                      "down_mbps": round(down_mbps, 1)}, **res}
+        if worker_mb > 0:
+            results[label]["worker"] = {"recycle_mb": worker_mb,
+                                        "recycles": lane.recycles}
+            lane.close()
 
     anchor = results["128f_reference"]["fps"]
     at_scale = results["long_540p"]["fps"]

@@ -26,9 +26,20 @@ def main(argv=None):
 
     # finally: a host that dies mid-run must still join the shutdown
     # barrier, or its peers trip the ~30 s shutdown deadline
+    binarizer = None
     try:
-        binarizer = Binarizer.from_config(
-            driver.config, mesh=resolve_mesh(driver.params, driver.config))
+        mesh = resolve_mesh(driver.params, driver.config)
+        recycle_mb = driver.config.get_float("DEVICE_WORKER_RECYCLE_MB", 0.0)
+        if recycle_mb > 0 and mesh is None:
+            # recycled child device process (pipeline/device_worker.py):
+            # contains the axon tunnel's per-upload native-memory retention
+            # over a whole multi-lecture run; shared across lectures so a
+            # healthy child keeps its warm compile between them
+            from ..pipeline.device_worker import WorkerBinarizer
+
+            binarizer = WorkerBinarizer.from_config(driver.config)
+        else:
+            binarizer = Binarizer.from_config(driver.config, mesh=mesh)
         save_artifacts = str(driver.params.get("save", "0")) == "1"
 
         for lecture in driver.iter_lectures():
@@ -39,6 +50,8 @@ def main(argv=None):
             print(f"{lecture.title}: {len(keyframes)} keyframes in "
                   f"{driver.timer.totals[lecture.title]:.2f}s")
     finally:
+        if binarizer is not None and hasattr(binarizer, "close"):
+            binarizer.close()
         shutdown_distributed()
     print("Finished")
 

@@ -37,8 +37,18 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
     # CC tracking (and artifact PNG encode) consume each drained batch while
     # the next batches are in flight on the device, so wall-clock approaches
     # max(device binarize, host track) instead of their sum
+    own_binarizer = binarizer is None
     if binarizer is None:
-        binarizer = Binarizer.from_config(config)
+        # DEVICE_WORKER_RECYCLE_MB > 0: run the device path in a recycled
+        # child process (pipeline/device_worker.py — contains the axon
+        # tunnel's per-upload native-memory retention on very long runs)
+        recycle_mb = config.get_float("DEVICE_WORKER_RECYCLE_MB", 0.0)
+        if recycle_mb > 0:
+            from .device_worker import WorkerBinarizer
+
+            binarizer = WorkerBinarizer.from_config(config)
+        else:
+            binarizer = Binarizer.from_config(config)
     if source is None:
         source = driver.frame_source(lecture)
 
@@ -99,7 +109,12 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
         # not leak the sharded tracker's worker pool / queued shard jobs
         if sharded is not None:
             sharded.abort()
+        if own_binarizer and hasattr(binarizer, "close"):
+            binarizer.close()
         raise
+
+    if own_binarizer and hasattr(binarizer, "close"):
+        binarizer.close()  # a worker created here is not reused
 
     if sharded is not None:
         tracker = sharded.finish()

@@ -1,0 +1,95 @@
+"""WorkerBinarizer: the recycled device-worker child must be bit-identical
+to the in-process Binarizer at any recycle granularity, and the express
+pipeline must produce the same summary through it.
+
+The worker exists to contain the axon tunnel's per-upload native-memory
+retention (see pipeline/device_worker.py module docstring for the probe
+evidence); on the CPU test backend it exercises the full protocol —
+spawn, chunked feeding, mid-stream recycling, EOS draining, close."""
+
+import numpy as np
+
+from cli_workspace import build_cli_workspace
+from lecturemath_tpu.core.config import Config
+from lecturemath_tpu.pipeline.binarize import Binarizer
+from lecturemath_tpu.pipeline.device_worker import WorkerBinarizer
+from lecturemath_tpu.pipeline.video import VideoFrameSource
+
+
+def _source(root):
+    return VideoFrameSource([str(root / "videos" / "synth01.avi")],
+                            sampling_fps=1.0)
+
+
+def test_worker_matches_inprocess_with_recycling(tmp_path):
+    root = build_cli_workspace(tmp_path, "devworker", n_frames=24)
+    config = Config.from_file(str(root / "test.conf"))
+
+    ref = Binarizer.from_config(config)
+    ref_times, ref_indices, ref_frames = ref.process_source(_source(root))
+
+    # 1 MB budget: any real child RSS exceeds it, so every drained-batch
+    # report triggers a recycle at the next chunk boundary — the maximum
+    # possible recycle churn. batch_size=4 makes batches drain mid-stream.
+    worker = WorkerBinarizer(config, recycle_mb=1.0, chunk_frames=4,
+                             binarizer_kwargs={"batch_size": 4})
+    try:
+        times, indices, frames = worker.process_source(_source(root))
+    finally:
+        worker.close()
+
+    assert worker.recycles >= 1
+    assert times == ref_times
+    assert indices == ref_indices
+    assert len(frames) == len(ref_frames)
+    for got, want in zip(frames, ref_frames):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_worker_no_recycle_and_reuse(tmp_path):
+    """recycle_mb=0 keeps one child for multiple streams (the multi-lecture
+    CLI pattern) with identical results each time."""
+    root = build_cli_workspace(tmp_path, "devworker0", n_frames=6)
+    config = Config.from_file(str(root / "test.conf"))
+
+    ref = Binarizer.from_config(config)
+    _, _, ref_frames = ref.process_source(_source(root))
+
+    worker = WorkerBinarizer(config, chunk_frames=3)
+    try:
+        _, _, first = worker.process_source(_source(root))
+        child = worker._child
+        _, _, second = worker.process_source(_source(root))
+        assert worker._child is child  # same child served both streams
+    finally:
+        worker.close()
+
+    assert worker.recycles == 0
+    for got, want in zip(first + second, ref_frames + ref_frames):
+        np.testing.assert_array_equal(got, want)
+    assert not worker._child  # closed
+
+
+def test_express_through_worker_matches(tmp_path):
+    """DEVICE_WORKER_RECYCLE_MB in the config routes the express pipeline
+    through the worker; the summary must equal the in-process run's."""
+    from lecturemath_tpu.pipeline.driver import PipelineDriver
+    from lecturemath_tpu.pipeline.express import run_lecture
+
+    root = build_cli_workspace(tmp_path, "devworker_e2e", n_frames=10)
+
+    def run(extra):
+        conf = root / ("worker.conf" if extra else "plain.conf")
+        conf.write_text((root / "test.conf").read_text() + extra)
+        driver = PipelineDriver.from_config_path(str(conf), [], None, None)
+        lecture = next(iter(driver.iter_lectures()))
+        return run_lecture(driver, lecture, export=False)
+
+    want = run("")
+    got = run("\nDEVICE_WORKER_RECYCLE_MB = 1\n"
+              "DEVICE_WORKER_CHUNK_FRAMES = 4\n")
+    assert got[0] == want[0]  # summary indices
+    assert got[1] == want[1]  # summary times
+    assert len(got[2]) == len(want[2])
+    for got_kf, want_kf in zip(got[2], want[2]):
+        np.testing.assert_array_equal(got_kf, want_kf)
