@@ -190,11 +190,29 @@ class WorkerBinarizer:
             raise RuntimeError(f"device worker failed to start: {msg!r}")
 
     def close(self) -> None:
-        """Exit the child cleanly (idempotent)."""
+        """Exit the child cleanly (idempotent), without ever blocking
+        unboundedly: on an abort mid-stream the feed queue can be FULL and
+        the child can be blocked on a full RESULT queue — a blind blocking
+        put here would deadlock against it. ``None`` is the close message
+        for both child states (mid-stream it ends the in-flight stream,
+        at the command loop it exits); results are drained so a blocked
+        child can make progress toward it."""
+        import time as time_mod
+
         if self._child is not None and self._child.is_alive():
             try:
-                self._feed_q.put("exit")
-                self._child.join(timeout=30)
+                deadline = time_mod.monotonic() + 30.0
+                while self._child.is_alive() and \
+                        time_mod.monotonic() < deadline:
+                    try:
+                        self._feed_q.put_nowait(None)
+                    except queue_mod.Full:
+                        pass
+                    try:
+                        self._result_q.get_nowait()
+                    except queue_mod.Empty:
+                        pass
+                    self._child.join(timeout=0.25)
             finally:
                 if self._child.is_alive():
                     self._child.terminate()

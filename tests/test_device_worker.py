@@ -70,6 +70,27 @@ def test_worker_no_recycle_and_reuse(tmp_path):
     assert not worker._child  # closed
 
 
+def test_abort_mid_stream_closes_promptly(tmp_path):
+    """The express abort path: stop consuming stream_source mid-stream,
+    then close(). close() must return promptly (bounded) even though the
+    child still owes the stream results — a blind blocking feed put would
+    deadlock against a child blocked on a full result queue."""
+    import time
+
+    root = build_cli_workspace(tmp_path, "devworker_abort", n_frames=24)
+    config = Config.from_file(str(root / "test.conf"))
+
+    worker = WorkerBinarizer(config, chunk_frames=2,
+                             binarizer_kwargs={"batch_size": 2})
+    gen = worker.stream_source(_source(root))
+    next(gen)     # stream in flight, results pending
+    gen.close()   # abandon mid-stream (what an express exception does)
+    start = time.monotonic()
+    worker.close()
+    assert time.monotonic() - start < 45
+    assert worker._child is None
+
+
 def test_express_through_worker_matches(tmp_path):
     """DEVICE_WORKER_RECYCLE_MB in the config routes the express pipeline
     through the worker; the summary must equal the in-process run's."""
