@@ -83,11 +83,10 @@ def run_pipeline(binarizer, rgb=None, source=None, width=None, height=None,
     breakdown dict, results dict). ``source`` overrides the in-memory rgb
     array (streaming full-lecture-scale workloads render on demand);
     ``checkpoint_every`` records per-window tracker growth + RSS."""
-    import resource
-
     import numpy as np
 
     from lecturemath_tpu.data.space_time import SpaceTimeStruct
+    from lecturemath_tpu.pipeline.device_worker import _vmrss_mb
     from lecturemath_tpu.pipeline import segmentation as seg
     from lecturemath_tpu.pipeline.cc_tracking import CCTracker
     from lecturemath_tpu.pipeline.keyframes import extract_keyframes
@@ -136,8 +135,10 @@ def run_pipeline(binarizer, rgb=None, source=None, width=None, height=None,
                                     max(now - win_start, 1e-9), 2),
                 "active_ccs": len(tracker._active),
                 "unique_ccs": len(tracker.unique_ccs),
-                "rss_mb": round(resource.getrusage(
-                    resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1),
+                # CURRENT VmRSS, not ru_maxrss: the lifetime peak can't
+                # show containment (a recycling run and a leaking run that
+                # peaked early would both read flat)
+                "rss_mb": round(_vmrss_mb(), 1),
             })
             win_start = now
     stage12_s = pc() - start

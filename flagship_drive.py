@@ -236,8 +236,9 @@ def train_phase(root):
         tgt = np.empty((TRAIN_BATCH, TRAIN_CROP, TRAIN_CROP, 1), np.float32)
         for b in range(TRAIN_BATCH):
             k = rng.integers(len(frames))
-            y = rng.integers(HEIGHT - TRAIN_CROP)
-            x = rng.integers(WIDTH - TRAIN_CROP)
+            # max(1, ...): integers(0) raises; offset 0 when crop == frame
+            y = rng.integers(max(1, HEIGHT - TRAIN_CROP))
+            x = rng.integers(max(1, WIDTH - TRAIN_CROP))
             img[b] = frames[k, y:y + TRAIN_CROP, x:x + TRAIN_CROP]
             tgt[b] = targets[k, y:y + TRAIN_CROP, x:x + TRAIN_CROP]
         batch = {"image": jnp.asarray(img), "target": jnp.asarray(tgt),

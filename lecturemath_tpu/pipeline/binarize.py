@@ -198,10 +198,10 @@ class Binarizer:
             self._packed_fn = make_packed_binarizer(
                 model, variables, threshold=threshold,
                 input_format=upload_format)
-            self._packed_fn_format = upload_format
+            self._packed_fn_key = (upload_format, 0)
         else:
             self._packed_fn = None
-            self._packed_fn_format = None
+            self._packed_fn_key = None
 
     @classmethod
     def from_config(cls, config: Config, allow_random: bool = False,
@@ -379,16 +379,22 @@ class Binarizer:
                 if self.upload_format == "yuv420" and \
                         (upload_size[0] % 2 or upload_size[1] % 4):
                     self.upload_format = "rgb"
-                if use_packed and (device_halvings or
-                                   self._packed_fn_format !=
-                                   self.upload_format):
+                # rebuild key tracks BOTH the upload format and the on-device
+                # halving count: a reused Binarizer must not keep a halving
+                # fn for a later stream that needs none (or vice versa), and
+                # an unchanged key must not re-jit (a fresh jit object means
+                # a full retrace+compile per lecture)
+                if use_packed and \
+                        self._packed_fn_key != (self.upload_format,
+                                                device_halvings):
                     from ..models.fcn_lecturenet import make_packed_binarizer
 
                     self._packed_fn = make_packed_binarizer(
                         self.model, self.variables, threshold=self.threshold,
                         input_format=self.upload_format,
                         pre_halvings=device_halvings)
-                    self._packed_fn_format = self.upload_format
+                    self._packed_fn_key = (self.upload_format,
+                                           device_halvings)
 
             frames = batch.frames
             if model_size != full_size and not device_halvings:

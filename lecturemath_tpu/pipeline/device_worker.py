@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import queue as queue_mod
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -129,6 +130,27 @@ def _child_main(cfg_values: dict, platform: Optional[str],
             pass
 
 
+def _drain_results(mp_q, rx, stop: threading.Event) -> None:
+    """Forward every child result into an in-process queue.
+
+    This thread exists to absorb the ONE indefinite block a
+    ``multiprocessing.Queue.get`` can hit: a child SIGKILLed mid-write
+    (the OOM regime this worker contains) leaves a partial pickle in the
+    pipe — ``poll()`` sees data, so even ``get(timeout)`` enters
+    ``recv_bytes`` and never returns (the parent's own copy of the pipe's
+    write end keeps EOF from arriving). Only this disposable daemon
+    thread can get stuck there; the parent reads ``rx`` (a plain
+    ``queue.Queue``) with real timeouts and liveness checks."""
+    while not stop.is_set():
+        try:
+            msg = mp_q.get(timeout=0.2)
+        except queue_mod.Empty:
+            continue
+        except (EOFError, OSError):
+            return
+        rx.put(msg)
+
+
 class WorkerBinarizer:
     """Drop-in for :class:`Binarizer`'s streaming surface
     (``stream_source`` / ``process_source``) that runs the device path in
@@ -163,6 +185,8 @@ class WorkerBinarizer:
         self._child = None
         self._feed_q = None
         self._result_q = None
+        self._rx = None          # in-process mirror of _result_q
+        self._drain_stop = None
 
     @classmethod
     def from_config(cls, config: Config, allow_random: bool = False,
@@ -179,6 +203,11 @@ class WorkerBinarizer:
     def _spawn(self) -> None:
         self._feed_q = self._ctx.Queue(maxsize=_FEED_DEPTH)
         self._result_q = self._ctx.Queue(maxsize=_RESULT_DEPTH)
+        self._rx = queue_mod.Queue()
+        self._drain_stop = threading.Event()
+        threading.Thread(target=_drain_results,
+                         args=(self._result_q, self._rx, self._drain_stop),
+                         daemon=True).start()
         self._child = self._ctx.Process(
             target=_child_main,
             args=(self._cfg_values, self.platform, self.allow_random,
@@ -209,7 +238,11 @@ class WorkerBinarizer:
                     except queue_mod.Full:
                         pass
                     try:
-                        self._result_q.get_nowait()
+                        # keep the in-process mirror drained (the drainer
+                        # thread keeps the mp result queue itself flowing,
+                        # so a child blocked on a full result queue can
+                        # make progress toward the exit message)
+                        self._rx.get_nowait()
                     except queue_mod.Empty:
                         pass
                     self._child.join(timeout=0.25)
@@ -217,7 +250,21 @@ class WorkerBinarizer:
                 if self._child.is_alive():
                     self._child.terminate()
                     self._child.join(timeout=10)
+                    if self._child.is_alive():
+                        self._child.kill()
+                        self._child.join(timeout=10)
         self._child = None
+        if self._drain_stop is not None:
+            self._drain_stop.set()
+        for q in (self._feed_q, self._result_q):
+            # cancel_join_thread: a child that died with the feed pipe
+            # mid-write leaves the parent's feeder thread blocked forever;
+            # without this, the queue finalizer would JOIN that thread at
+            # interpreter exit and hang the process
+            if q is not None:
+                q.cancel_join_thread()
+                q.close()
+        self._feed_q = self._result_q = None
 
     def __del__(self):  # best effort — tests use close() explicitly
         try:
@@ -226,22 +273,32 @@ class WorkerBinarizer:
             pass
 
     def _get_result(self, timeout: float = 3600.0):
-        """Result-queue get that notices a dead child instead of hanging."""
+        """Result get that notices a dead child instead of hanging. Reads
+        the in-process mirror queue (see ``_drain_results``) — a plain
+        ``queue.Queue`` whose timeouts are real even when the child was
+        killed mid-write into the mp pipe."""
         deadline_step = 5.0
         waited = 0.0
         while True:
             try:
-                msg = self._result_q.get(timeout=deadline_step)
+                msg = self._rx.get(timeout=deadline_step)
             except queue_mod.Empty:
                 waited += deadline_step
                 if not self._child.is_alive():
-                    raise RuntimeError(
-                        "device worker died without reporting an error "
-                        f"(exitcode {self._child.exitcode})")
-                if waited >= timeout:
+                    # the child's final message can still be mid-flush in
+                    # its queue feeder thread when is_alive() flips — one
+                    # bounded drain before declaring the result lost
+                    try:
+                        msg = self._rx.get(timeout=1.0)
+                    except queue_mod.Empty:
+                        raise RuntimeError(
+                            "device worker died without reporting an error "
+                            f"(exitcode {self._child.exitcode})")
+                elif waited >= timeout:
                     raise RuntimeError(
                         f"device worker produced no result for {waited:.0f}s")
-                continue
+                else:
+                    continue
             if msg[0] == "error":
                 self.close()
                 raise RuntimeError(f"device worker failed:\n{msg[1]}")
@@ -257,6 +314,7 @@ class WorkerBinarizer:
                                      "drain_s": 0.0, "downscale_s": 0.0,
                                      "recycles": 0}
         if self._child is None or not self._child.is_alive():
+            self.close()  # retire dead-child queues + drainer, if any
             self._spawn()
         self._feed_q.put(("stream", invert))
 
@@ -281,7 +339,7 @@ class WorkerBinarizer:
                 msg = self._get_result()
             else:
                 try:
-                    msg = self._result_q.get_nowait()
+                    msg = self._rx.get_nowait()
                 except queue_mod.Empty:
                     return None
                 if msg[0] == "error":
@@ -300,7 +358,10 @@ class WorkerBinarizer:
 
         def feed(msg):
             """Queue put that keeps draining results — the child blocks on
-            a full result queue, so a blind blocking put could deadlock."""
+            a full result queue, so a blind blocking put could deadlock.
+            A child killed without an error message (e.g. OOM SIGKILL —
+            exactly the regime this worker contains) leaves the feed queue
+            full forever, so the Full path also checks liveness."""
             while True:
                 try:
                     self._feed_q.put(msg, timeout=0.5)
@@ -309,6 +370,15 @@ class WorkerBinarizer:
                     out = drain_one(block=False)
                     if out is not None and out != "done":
                         yield out
+                    elif out is None and not self._child.is_alive():
+                        time.sleep(0.2)  # let a mid-flush message land
+                        out = drain_one(block=False)
+                        if out is None:
+                            raise RuntimeError(
+                                "device worker died mid-stream (exitcode "
+                                f"{self._child.exitcode})")
+                        if out != "done":
+                            yield out
 
         def end_stream():
             """EOS -> drain everything the child still owes this stream."""

@@ -91,6 +91,43 @@ def test_abort_mid_stream_closes_promptly(tmp_path):
     assert worker._child is None
 
 
+def test_silently_killed_child_raises_not_hangs(tmp_path):
+    """A child killed WITHOUT an error message (the OOM-SIGKILL regime the
+    worker exists to contain) must surface as a RuntimeError from the
+    stream — not an indefinite hang in the feed loop once the feed queue
+    fills against a dead consumer."""
+    import os
+    import signal
+    import threading
+
+    root = build_cli_workspace(tmp_path, "devworker_kill", n_frames=24)
+    config = Config.from_file(str(root / "test.conf"))
+
+    worker = WorkerBinarizer(config, chunk_frames=2,
+                             binarizer_kwargs={"batch_size": 2})
+    outcome = {}
+
+    def run():
+        try:
+            gen = worker.stream_source(_source(root))
+            next(gen)  # child up, stream in flight
+            os.kill(worker._child.pid, signal.SIGKILL)
+            for _ in gen:
+                pass
+            outcome["result"] = "completed"
+        except RuntimeError as e:
+            outcome["result"] = f"raised: {e}"
+        except BaseException as e:  # noqa: BLE001
+            outcome["result"] = f"other: {e!r}"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=180)
+    assert not t.is_alive(), "stream hung after the child was SIGKILLed"
+    assert outcome["result"].startswith("raised"), outcome
+    worker.close()
+
+
 def test_express_through_worker_matches(tmp_path):
     """DEVICE_WORKER_RECYCLE_MB in the config routes the express pipeline
     through the worker; the summary must equal the in-process run's."""

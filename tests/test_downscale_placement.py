@@ -72,6 +72,32 @@ def test_placements_agree(workload):
     assert float(np.mean(area != device)) < 0.005
 
 
+def test_reused_binarizer_refreshes_halving_count(workload):
+    """A reused Binarizer must rebuild its packed fn when the needed
+    on-device halving count CHANGES between sources (a stale halving fn
+    would shrink a below-cap lecture), and must NOT re-jit when the
+    (format, halvings) key is unchanged — a fresh jit object per stream
+    means a full retrace+compile per lecture."""
+    model, variables, rgb, _ = workload
+    small = np.ascontiguousarray(rgb[:, :96, :128])  # 12,288 px < CAP
+
+    binarizer = Binarizer(model, variables, batch_size=3,
+                          upload_format="rgb", downscale="device",
+                          max_model_pixels=CAP)
+    _, _, big1 = binarizer.process_source(ArraySource(rgb), invert=False)
+    fn_after_big = binarizer._packed_fn
+    _, _, big2 = binarizer.process_source(ArraySource(rgb), invert=False)
+    assert binarizer._packed_fn is fn_after_big  # same key: no re-jit
+    _, _, got_small = binarizer.process_source(ArraySource(small),
+                                               invert=False)
+
+    fresh = Binarizer(model, variables, batch_size=3, upload_format="rgb",
+                      downscale="device", max_model_pixels=CAP)
+    _, _, want_small = fresh.process_source(ArraySource(small), invert=False)
+    assert np.array_equal(np.stack(got_small), np.stack(want_small))
+    assert np.array_equal(np.stack(big2), np.stack(big1))
+
+
 def test_device_placement_matches_host_box_filter_exactly_unhalved(workload):
     # below the cap no halving runs anywhere: all placements are the same
     # graph and must agree bit-for-bit
