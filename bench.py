@@ -554,8 +554,16 @@ def measure_long(n_frames=3600):
     # checkpoints then track the PARENT, which no longer accumulates the
     # per-upload retention (PARITY.md "Full-lecture RSS")
     worker_mb = float(os.environ.get("LM_BENCH_WORKER_MB", "0"))
+    # LM_BENCH_LONG_LANES=540p|1080p|both (default both): one lane per
+    # invocation lets the soak fit inside a backend-UP window when the
+    # remote backend is flapping (observed multi-hour outages; each lane
+    # ships GBs through the tunnel) — results from separate runs are
+    # stitched into the round artifact by hand
+    lanes = os.environ.get("LM_BENCH_LONG_LANES", "both")
     for label, (w, h, glyph) in (("long_540p", (960, 540, (20, 30))),
                                  ("long_1080p", (1920, 1080, (40, 60)))):
+        if lanes != "both" and not label.endswith(lanes):
+            continue
         source = SyntheticRGBLectureSource(
             seed=0, n_frames=n_frames, height=h, width=w, n_boards=10,
             glyphs_per_board=120, glyph_size=glyph)
@@ -604,14 +612,17 @@ def measure_long(n_frames=3600):
             lane.close()
 
     anchor = results["128f_reference"]["fps"]
-    at_scale = results["long_540p"]["fps"]
+    # under a lane filter the 540p run may be absent; headline on whatever ran
+    at_scale = results.get("long_540p", results.get("long_1080p", {})).get(
+        "fps", anchor)
     return {
         "metric": f"full-lecture soak fps ({n_frames} frames, 10 boards, "
                   f"1,200 unique CCs)",
         "value": at_scale,
         "unit": "frames/sec",
         "vs_baseline": None,
-        "fps_scale_ratio_540p": round(at_scale / anchor, 3),
+        "fps_scale_ratio_540p": (round(at_scale / anchor, 3)
+                                 if "long_540p" in results else None),
         "note": "fps_scale_ratio_540p compares the 3,600-frame 960x540 run "
                 "to the same-session 128-frame headline workload (same "
                 "per-frame work; ratio <1 names pure scale cost). The "
