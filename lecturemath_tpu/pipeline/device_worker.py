@@ -19,10 +19,28 @@ accounting — pipeline/video.py semantics are untouched) and all
 downstream stages; the child is stateless between batches, so recycling
 at any chunk boundary is bit-exact: per-frame outputs don't depend on
 batch composition (BN folded, inference mode — the same invariance the
-staged/express equality tests rely on). With a persistent JAX
-compilation cache (JAX_COMPILATION_CACHE_DIR) a respawn costs checkpoint
-load + cached-compile re-link, seconds against the tens of minutes a
-full lecture runs.
+staged/express equality tests rely on).
+
+Two levers keep a recycle from stalling the stream (the first
+worker-contained 3,600-frame soak measured ~4 min per respawn: backend
+init + checkpoint load + a from-scratch XLA compile, serial with the
+stream):
+
+* **Persistent compile cache** (``DEVICE_WORKER_COMPILE_CACHE``, default
+  a shared per-user dir under the system tempdir): every child points
+  ``jax_compilation_cache_dir`` there, so respawn #2+ re-links the cached
+  executable instead of recompiling — measured on the axon TPU backend
+  (see PARITY.md "Full-lecture RSS").
+* **Hot-spare prespawn** (``DEVICE_WORKER_PRESPAWN``, default on): when
+  the child's reported RSS crosses ~3/4 of the budget, the NEXT child is
+  spawned immediately and warmed in the background — backend init,
+  checkpoint load, and a one-frame throwaway stream that compiles the
+  steady-state batch shape (partial batches are padded to the full batch
+  size, video.py ``_pack``, so one frame exercises the exact program) —
+  all overlapped with the active child still streaming. At the recycle
+  boundary the stream switches to the warm spare and the stall collapses
+  to a queue handoff. Warm outputs are discarded; per-frame results are
+  batch-composition-invariant, so the switch stays bit-exact.
 
 Enable on the express pipeline with ``DEVICE_WORKER_RECYCLE_MB > 0``
 (single-process, meshless runs only — a multi-chip mesh keeps the device
@@ -34,7 +52,9 @@ remote-transfer layer to leak.
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 import queue as queue_mod
+import tempfile
 import threading
 from typing import List, Optional
 
@@ -46,6 +66,15 @@ from .video import VideoFrameSource
 _CHUNK_FRAMES = 16      # frames per parent->child message
 _FEED_DEPTH = 4         # chunks in flight toward the child
 _RESULT_DEPTH = 32      # drained batches buffered toward the parent
+_PRESPAWN_FRAC = 0.75   # spawn the spare at this fraction of the budget
+
+
+def default_compile_cache() -> str:
+    """Shared persistent-compile-cache dir for worker children (and any
+    other process that opts in). Keyed by uid so multi-user rigs don't
+    fight over permissions."""
+    return os.path.join(tempfile.gettempdir(),
+                        f"lecturemath_jax_cache_{os.getuid()}")
 
 
 def _vmrss_mb() -> float:
@@ -90,7 +119,7 @@ def _unpack_result(bits: np.ndarray, shape) -> List[np.ndarray]:
 
 def _child_main(cfg_values: dict, platform: Optional[str],
                 allow_random: bool, binarizer_kwargs: dict,
-                feed_q, result_q) -> None:
+                compile_cache: Optional[str], feed_q, result_q) -> None:
     """Device-owning child: builds the Binarizer, then serves
     ``("stream", invert)`` requests until an ``"exit"`` message. Every
     drained batch ships back bit-packed (binary frames are 0/255, so
@@ -102,6 +131,11 @@ def _child_main(cfg_values: dict, platform: Optional[str],
 
         if platform:
             jax.config.update("jax_platforms", platform)
+        if compile_cache:
+            os.makedirs(compile_cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", compile_cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
         from .binarize import Binarizer
 
         binarizer = Binarizer.from_config(Config(dict(cfg_values)),
@@ -151,72 +185,95 @@ def _drain_results(mp_q, rx, stop: threading.Event) -> None:
         rx.put(msg)
 
 
-class WorkerBinarizer:
-    """Drop-in for :class:`Binarizer`'s streaming surface
-    (``stream_source`` / ``process_source``) that runs the device path in
-    a recycled child process. See the module docstring for why.
+class _Child:
+    """One spawned device child: its process, queues, and result drainer.
 
-    ``recycle_mb``: child-RSS budget; when a drained batch reports more,
-    the current stream is cleanly split — the child drains its in-flight
-    device batches, exits, and a fresh child resumes with the next frames.
-    ``0`` disables recycling (one child for the whole run, still keeping
-    the leak out of the parent). The results are bit-identical to the
-    in-process Binarizer at ANY recycle granularity (tested).
-    """
+    ``spawn()`` returns immediately — the child signals readiness with a
+    ``("ready", rss)`` message; ``wait_ready()`` blocks for it,
+    ``poll_ready()`` checks without blocking (the hot-spare path)."""
 
-    def __init__(self, config: Config, recycle_mb: float = 0.0,
-                 chunk_frames: int = _CHUNK_FRAMES,
-                 allow_random: bool = False,
-                 platform: Optional[str] = None,
-                 binarizer_kwargs: Optional[dict] = None):
-        self._cfg_values = dict(config._values)
-        self.recycle_mb = float(recycle_mb)
-        self.chunk_frames = max(1, int(chunk_frames))
-        self.allow_random = allow_random
-        self.binarizer_kwargs = dict(binarizer_kwargs or {})
-        if platform is None:
-            import jax
-
-            platform = jax.config.jax_platforms  # None => auto, like parent
-        self.platform = platform
-        self.recycles = 0
-        self.stream_stats = {}
-        self._ctx = mp.get_context("spawn")
-        self._child = None
-        self._feed_q = None
-        self._result_q = None
-        self._rx = None          # in-process mirror of _result_q
-        self._drain_stop = None
-
-    @classmethod
-    def from_config(cls, config: Config, allow_random: bool = False,
-                    **kwargs) -> "WorkerBinarizer":
-        kwargs.setdefault("recycle_mb",
-                          config.get_float("DEVICE_WORKER_RECYCLE_MB", 0.0))
-        kwargs.setdefault("chunk_frames",
-                          config.get_int("DEVICE_WORKER_CHUNK_FRAMES",
-                                         _CHUNK_FRAMES))
-        return cls(config, allow_random=allow_random, **kwargs)
-
-    # ------------------------------------------------------------ lifecycle
-
-    def _spawn(self) -> None:
-        self._feed_q = self._ctx.Queue(maxsize=_FEED_DEPTH)
-        self._result_q = self._ctx.Queue(maxsize=_RESULT_DEPTH)
-        self._rx = queue_mod.Queue()
+    def __init__(self, ctx, cfg_values, platform, allow_random,
+                 binarizer_kwargs, compile_cache):
+        self.feed_q = ctx.Queue(maxsize=_FEED_DEPTH)
+        self.result_q = ctx.Queue(maxsize=_RESULT_DEPTH)
+        self.rx = queue_mod.Queue()
         self._drain_stop = threading.Event()
         threading.Thread(target=_drain_results,
-                         args=(self._result_q, self._rx, self._drain_stop),
+                         args=(self.result_q, self.rx, self._drain_stop),
                          daemon=True).start()
-        self._child = self._ctx.Process(
+        self.proc = ctx.Process(
             target=_child_main,
-            args=(self._cfg_values, self.platform, self.allow_random,
-                  self.binarizer_kwargs, self._feed_q, self._result_q),
+            args=(cfg_values, platform, allow_random, binarizer_kwargs,
+                  compile_cache, self.feed_q, self.result_q),
             daemon=True)
-        self._child.start()
-        msg = self._get_result()
+        self.proc.start()
+        self.ready = False
+        self.warm_sent = False
+
+    # ------------------------------------------------------------- results
+
+    def get(self, timeout: float = 3600.0):
+        """Result get that notices a dead child instead of hanging. Reads
+        the in-process mirror queue (see ``_drain_results``) — a plain
+        ``queue.Queue`` whose timeouts are real even when the child was
+        killed mid-write into the mp pipe."""
+        deadline_step = 5.0
+        waited = 0.0
+        while True:
+            try:
+                msg = self.rx.get(timeout=deadline_step)
+            except queue_mod.Empty:
+                waited += deadline_step
+                if not self.proc.is_alive():
+                    # the child's final message can still be mid-flush in
+                    # its queue feeder thread when is_alive() flips — one
+                    # bounded drain before declaring the result lost
+                    try:
+                        msg = self.rx.get(timeout=1.0)
+                    except queue_mod.Empty:
+                        raise RuntimeError(
+                            "device worker died without reporting an error "
+                            f"(exitcode {self.proc.exitcode})")
+                elif waited >= timeout:
+                    raise RuntimeError(
+                        f"device worker produced no result for {waited:.0f}s")
+                else:
+                    continue
+            if msg[0] == "error":
+                self.close()
+                raise RuntimeError(f"device worker failed:\n{msg[1]}")
+            return msg
+
+    def wait_ready(self) -> None:
+        if self.ready:
+            return
+        msg = self.get()
         if msg[0] != "ready":
             raise RuntimeError(f"device worker failed to start: {msg!r}")
+        self.ready = True
+
+    def poll_ready(self) -> bool:
+        """Non-blocking readiness check. Raises if the child reported an
+        error or died before signalling ready."""
+        if self.ready:
+            return True
+        try:
+            msg = self.rx.get_nowait()
+        except queue_mod.Empty:
+            if not self.proc.is_alive():
+                raise RuntimeError(
+                    "device worker died during startup "
+                    f"(exitcode {self.proc.exitcode})")
+            return False
+        if msg[0] == "error":
+            self.close()
+            raise RuntimeError(f"device worker failed:\n{msg[1]}")
+        if msg[0] != "ready":
+            raise RuntimeError(f"device worker failed to start: {msg!r}")
+        self.ready = True
+        return True
+
+    # ----------------------------------------------------------- lifecycle
 
     def close(self) -> None:
         """Exit the child cleanly (idempotent), without ever blocking
@@ -228,13 +285,13 @@ class WorkerBinarizer:
         child can make progress toward it."""
         import time as time_mod
 
-        if self._child is not None and self._child.is_alive():
+        if self.proc is not None and self.proc.is_alive():
             try:
                 deadline = time_mod.monotonic() + 30.0
-                while self._child.is_alive() and \
+                while self.proc.is_alive() and \
                         time_mod.monotonic() < deadline:
                     try:
-                        self._feed_q.put_nowait(None)
+                        self.feed_q.put_nowait(None)
                     except queue_mod.Full:
                         pass
                     try:
@@ -242,21 +299,20 @@ class WorkerBinarizer:
                         # thread keeps the mp result queue itself flowing,
                         # so a child blocked on a full result queue can
                         # make progress toward the exit message)
-                        self._rx.get_nowait()
+                        self.rx.get_nowait()
                     except queue_mod.Empty:
                         pass
-                    self._child.join(timeout=0.25)
+                    self.proc.join(timeout=0.25)
             finally:
-                if self._child.is_alive():
-                    self._child.terminate()
-                    self._child.join(timeout=10)
-                    if self._child.is_alive():
-                        self._child.kill()
-                        self._child.join(timeout=10)
-        self._child = None
-        if self._drain_stop is not None:
-            self._drain_stop.set()
-        for q in (self._feed_q, self._result_q):
+                if self.proc.is_alive():
+                    self.proc.terminate()
+                    self.proc.join(timeout=10)
+                    if self.proc.is_alive():
+                        self.proc.kill()
+                        self.proc.join(timeout=10)
+        self.proc = None
+        self._drain_stop.set()
+        for q in (self.feed_q, self.result_q):
             # cancel_join_thread: a child that died with the feed pipe
             # mid-write leaves the parent's feeder thread blocked forever;
             # without this, the queue finalizer would JOIN that thread at
@@ -264,7 +320,98 @@ class WorkerBinarizer:
             if q is not None:
                 q.cancel_join_thread()
                 q.close()
-        self._feed_q = self._result_q = None
+        self.feed_q = self.result_q = None
+
+    @property
+    def alive(self) -> bool:
+        return self.proc is not None and self.proc.is_alive()
+
+
+class WorkerBinarizer:
+    """Drop-in for :class:`Binarizer`'s streaming surface
+    (``stream_source`` / ``process_source``) that runs the device path in
+    a recycled child process. See the module docstring for why.
+
+    ``recycle_mb``: child-RSS budget; when a drained batch reports more,
+    the current stream is cleanly split — the child drains its in-flight
+    device batches, exits, and a fresh child resumes with the next frames.
+    ``0`` disables recycling (one child for the whole run, still keeping
+    the leak out of the parent). The results are bit-identical to the
+    in-process Binarizer at ANY recycle granularity (tested).
+
+    ``prespawn``: overlap each respawn with the running stream (module
+    docstring). ``compile_cache``: persistent-compile-cache dir for the
+    children; ``None`` picks :func:`default_compile_cache`, ``""`` or
+    ``"none"`` disables.
+    """
+
+    def __init__(self, config: Config, recycle_mb: float = 0.0,
+                 chunk_frames: int = _CHUNK_FRAMES,
+                 allow_random: bool = False,
+                 platform: Optional[str] = None,
+                 binarizer_kwargs: Optional[dict] = None,
+                 prespawn: bool = True,
+                 compile_cache: Optional[str] = None):
+        self._cfg_values = dict(config._values)
+        self.recycle_mb = float(recycle_mb)
+        self.chunk_frames = max(1, int(chunk_frames))
+        self.allow_random = allow_random
+        self.binarizer_kwargs = dict(binarizer_kwargs or {})
+        self.prespawn = bool(prespawn)
+        if compile_cache is None:
+            compile_cache = default_compile_cache()
+        self.compile_cache = (None if str(compile_cache).lower()
+                              in ("", "none") else str(compile_cache))
+        if platform is None:
+            import jax
+
+            platform = jax.config.jax_platforms  # None => auto, like parent
+        self.platform = platform
+        self.recycles = 0
+        self.stream_stats = {}
+        self._ctx = mp.get_context("spawn")
+        self._active: Optional[_Child] = None
+        self._spare: Optional[_Child] = None
+        self._warm_frame: Optional[np.ndarray] = None
+
+    @classmethod
+    def from_config(cls, config: Config, allow_random: bool = False,
+                    **kwargs) -> "WorkerBinarizer":
+        kwargs.setdefault("recycle_mb",
+                          config.get_float("DEVICE_WORKER_RECYCLE_MB", 0.0))
+        kwargs.setdefault("chunk_frames",
+                          config.get_int("DEVICE_WORKER_CHUNK_FRAMES",
+                                         _CHUNK_FRAMES))
+        kwargs.setdefault("prespawn",
+                          config.get_bool("DEVICE_WORKER_PRESPAWN", True))
+        cache = config.get_str("DEVICE_WORKER_COMPILE_CACHE", "auto")
+        if cache != "auto":
+            kwargs.setdefault("compile_cache", cache)
+        return cls(config, allow_random=allow_random, **kwargs)
+
+    # ------------------------------------------------------------ lifecycle
+
+    @property
+    def _child(self):
+        """The active child's process — test/introspection surface."""
+        return self._active.proc if self._active is not None else None
+
+    def _new_child(self) -> _Child:
+        return _Child(self._ctx, self._cfg_values, self.platform,
+                      self.allow_random, self.binarizer_kwargs,
+                      self.compile_cache)
+
+    def _spawn(self) -> None:
+        self._active = self._new_child()
+        self._active.wait_ready()
+
+    def close(self) -> None:
+        """Exit the children cleanly (idempotent, bounded)."""
+        for attr in ("_spare", "_active"):
+            child = getattr(self, attr)
+            if child is not None:
+                child.close()
+                setattr(self, attr, None)
 
     def __del__(self):  # best effort — tests use close() explicitly
         try:
@@ -272,37 +419,53 @@ class WorkerBinarizer:
         except Exception:
             pass
 
-    def _get_result(self, timeout: float = 3600.0):
-        """Result get that notices a dead child instead of hanging. Reads
-        the in-process mirror queue (see ``_drain_results``) — a plain
-        ``queue.Queue`` whose timeouts are real even when the child was
-        killed mid-write into the mp pipe."""
-        deadline_step = 5.0
-        waited = 0.0
-        while True:
+    # ------------------------------------------------------------ hot spare
+
+    def _maybe_start_spare(self, rss: float) -> None:
+        """Start/advance the spare's background warmup. Called at chunk
+        boundaries with the active child's latest RSS report. Never raises
+        past itself: a failed spare falls back to the synchronous respawn
+        the recycle path always supports."""
+        if not (self.prespawn and self.recycle_mb > 0):
+            return
+        try:
+            if self._spare is None:
+                if rss > _PRESPAWN_FRAC * self.recycle_mb:
+                    self._spare = self._new_child()
+                return
+            if self._spare.warm_sent or self._warm_frame is None:
+                return
+            if self._spare.poll_ready():
+                # a one-frame throwaway stream: padded to the full batch
+                # (video.py _pack), it compiles the steady-state program —
+                # through the persistent cache this is a re-link, and it
+                # happens while the active child keeps streaming
+                self._spare.feed_q.put(("stream", True), timeout=5)
+                self._spare.feed_q.put(
+                    ("chunk", [0.0], [0], self._warm_frame), timeout=5)
+                self._spare.feed_q.put(None, timeout=5)
+                self._spare.warm_sent = True
+        except Exception:
+            if self._spare is not None:
+                self._spare.close()
+                self._spare = None
+
+    def _promote_or_respawn(self) -> None:
+        """Replace the closed active child: take the (ideally warm) spare,
+        else spawn synchronously."""
+        spare, self._spare = self._spare, None
+        if spare is not None:
             try:
-                msg = self._rx.get(timeout=deadline_step)
-            except queue_mod.Empty:
-                waited += deadline_step
-                if not self._child.is_alive():
-                    # the child's final message can still be mid-flush in
-                    # its queue feeder thread when is_alive() flips — one
-                    # bounded drain before declaring the result lost
-                    try:
-                        msg = self._rx.get(timeout=1.0)
-                    except queue_mod.Empty:
-                        raise RuntimeError(
-                            "device worker died without reporting an error "
-                            f"(exitcode {self._child.exitcode})")
-                elif waited >= timeout:
-                    raise RuntimeError(
-                        f"device worker produced no result for {waited:.0f}s")
-                else:
-                    continue
-            if msg[0] == "error":
-                self.close()
-                raise RuntimeError(f"device worker failed:\n{msg[1]}")
-            return msg
+                spare.wait_ready()
+                if spare.warm_sent:
+                    # discard the warmup stream's outputs
+                    while spare.get()[0] != "done":
+                        pass
+                self._active = spare
+                return
+            except Exception:
+                spare.close()
+        self._spawn()
 
     # ------------------------------------------------------------ streaming
 
@@ -312,16 +475,18 @@ class WorkerBinarizer:
         (times, indices, frames) per drained device batch, in order."""
         stats = self.stream_stats = {"source_s": 0.0, "dispatch_s": 0.0,
                                      "drain_s": 0.0, "downscale_s": 0.0,
-                                     "recycles": 0}
-        if self._child is None or not self._child.is_alive():
-            self.close()  # retire dead-child queues + drainer, if any
+                                     "recycles": 0, "respawn_stall_s": 0.0}
+        if self._active is None or not self._active.alive:
+            if self._active is not None:
+                self._active.close()
             self._spawn()
-        self._feed_q.put(("stream", invert))
+        self._active.feed_q.put(("stream", invert))
 
         import time
 
         pc = time.perf_counter
         need_recycle = False
+        self._warm_frame = None
         frame_iter = source.frames(frames_limit)
         chunk_t: list = []
         chunk_i: list = []
@@ -336,10 +501,10 @@ class WorkerBinarizer:
         def drain_one(block: bool):
             nonlocal need_recycle
             if block:
-                msg = self._get_result()
+                msg = self._active.get()
             else:
                 try:
-                    msg = self._rx.get_nowait()
+                    msg = self._active.rx.get_nowait()
                 except queue_mod.Empty:
                     return None
                 if msg[0] == "error":
@@ -354,6 +519,7 @@ class WorkerBinarizer:
             _, times, indices, bits, shape, rss = msg
             if self.recycle_mb and rss > self.recycle_mb:
                 need_recycle = True
+            self._maybe_start_spare(rss)
             return times, indices, _unpack_result(bits, shape)
 
         def feed(msg):
@@ -364,19 +530,19 @@ class WorkerBinarizer:
             full forever, so the Full path also checks liveness."""
             while True:
                 try:
-                    self._feed_q.put(msg, timeout=0.5)
+                    self._active.feed_q.put(msg, timeout=0.5)
                     return []
                 except queue_mod.Full:
                     out = drain_one(block=False)
                     if out is not None and out != "done":
                         yield out
-                    elif out is None and not self._child.is_alive():
+                    elif out is None and not self._active.alive:
                         time.sleep(0.2)  # let a mid-flush message land
                         out = drain_one(block=False)
                         if out is None:
                             raise RuntimeError(
                                 "device worker died mid-stream (exitcode "
-                                f"{self._child.exitcode})")
+                                f"{self._active.proc.exitcode})")
                         if out != "done":
                             yield out
 
@@ -389,26 +555,33 @@ class WorkerBinarizer:
                     break
                 yield out
 
+        def recycle():
+            nonlocal need_recycle
+            t0 = pc()
+            self._active.close()
+            self._promote_or_respawn()
+            stats["respawn_stall_s"] += pc() - t0
+            self.recycles += 1
+            stats["recycles"] += 1
+            need_recycle = False
+
         item = decode_next()
         while item is not None:
             chunk_t.append(item[0])
             chunk_i.append(item[1])
             chunk_f.append(item[2])
             if len(chunk_t) == self.chunk_frames:
-                yield from feed(("chunk", chunk_t, chunk_i,
-                                 np.stack(chunk_f)))
+                frames = np.stack(chunk_f)
+                yield from feed(("chunk", chunk_t, chunk_i, frames))
+                self._warm_frame = frames[-1:]
                 chunk_t, chunk_i, chunk_f = [], [], []
                 out = drain_one(block=False)
                 if out is not None and out != "done":
                     yield out
                 if need_recycle:
                     yield from end_stream()
-                    self.close()
-                    self.recycles += 1
-                    stats["recycles"] += 1
-                    need_recycle = False
-                    self._spawn()
-                    self._feed_q.put(("stream", invert))
+                    recycle()
+                    self._active.feed_q.put(("stream", invert))
             item = decode_next()
 
         if chunk_t:
@@ -416,10 +589,9 @@ class WorkerBinarizer:
         yield from end_stream()
         if need_recycle:
             # budget crossed in the final drain: retire the child now so
-            # the next stream (e.g. the next lecture) starts fresh
-            self.close()
-            self.recycles += 1
-            stats["recycles"] += 1
+            # the next stream (e.g. the next lecture) starts fresh — with
+            # a warm spare available this is a handoff, not a respawn
+            recycle()
 
     def process_source(self, source: VideoFrameSource, frames_limit: int = 0,
                        invert: bool = True):

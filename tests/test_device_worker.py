@@ -151,3 +151,88 @@ def test_express_through_worker_matches(tmp_path):
     assert len(got[2]) == len(want[2])
     for got_kf, want_kf in zip(got[2], want[2]):
         np.testing.assert_array_equal(got_kf, want_kf)
+
+
+def test_sync_respawn_without_prespawn(tmp_path):
+    """prespawn=False keeps the original synchronous respawn path —
+    bit-exact at maximum recycle churn."""
+    root = build_cli_workspace(tmp_path, "devworker_sync", n_frames=12)
+    config = Config.from_file(str(root / "test.conf"))
+
+    ref = Binarizer.from_config(config)
+    _, _, ref_frames = ref.process_source(_source(root))
+
+    worker = WorkerBinarizer(config, recycle_mb=1.0, chunk_frames=4,
+                             prespawn=False,
+                             binarizer_kwargs={"batch_size": 4})
+    try:
+        _, _, frames = worker.process_source(_source(root))
+    finally:
+        worker.close()
+    assert worker.recycles >= 1
+    assert worker._spare is None  # never prespawned
+    for got, want in zip(frames, ref_frames):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_warm_spare_promote_bit_exact(tmp_path):
+    """The hot-spare path, deterministically: ready-wait the spare, send
+    it the one-frame warmup stream, promote it, and stream through the
+    promoted child — results must equal the in-process Binarizer and the
+    warmup outputs must have been fully discarded."""
+    root = build_cli_workspace(tmp_path, "devworker_spare", n_frames=10)
+    config = Config.from_file(str(root / "test.conf"))
+
+    ref = Binarizer.from_config(config)
+    ref_times, ref_indices, ref_frames = ref.process_source(_source(root))
+
+    worker = WorkerBinarizer(config, recycle_mb=1.0, chunk_frames=4,
+                             binarizer_kwargs={"batch_size": 4})
+    try:
+        # spawn + warm a spare exactly as _maybe_start_spare would
+        frame0 = next(_source(root).frames())[2]
+        worker._warm_frame = frame0[None]
+        worker._spare = worker._new_child()
+        worker._spare.wait_ready()
+        worker._maybe_start_spare(rss=worker.recycle_mb + 1)
+        assert worker._spare.warm_sent
+
+        # promote: the warm outputs are drained and discarded
+        worker._promote_or_respawn()
+        assert worker._spare is None
+        promoted = worker._child
+        assert promoted is not None and promoted.is_alive()
+
+        # recycle_mb=1 means the promoted child itself recycles during
+        # this stream — the hot path and the churn path compose
+        times, indices, frames = worker.process_source(_source(root))
+    finally:
+        worker.close()
+
+    assert times == ref_times
+    assert indices == ref_indices
+    for got, want in zip(frames, ref_frames):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_compile_cache_config_plumbing(tmp_path):
+    """DEVICE_WORKER_COMPILE_CACHE: unset -> shared default dir; 'none'
+    -> disabled; explicit path -> passed through. Pure construction — no
+    child is spawned."""
+    from lecturemath_tpu.pipeline.device_worker import default_compile_cache
+
+    root = build_cli_workspace(tmp_path, "devworker_cfg", n_frames=2)
+    base = (root / "test.conf").read_text()
+
+    def mk(extra):
+        conf = root / "cache.conf"
+        conf.write_text(base + extra)
+        return WorkerBinarizer.from_config(Config.from_file(str(conf)))
+
+    assert mk("").compile_cache == default_compile_cache()
+    assert mk("\nDEVICE_WORKER_COMPILE_CACHE = none\n").compile_cache is None
+    assert mk("\nDEVICE_WORKER_COMPILE_CACHE = /tmp/custom_cache\n"
+              ).compile_cache == "/tmp/custom_cache"
+    assert mk("\nDEVICE_WORKER_PRESPAWN = false\n").prespawn is False
+    assert WorkerBinarizer(Config.from_file(str(root / "test.conf")),
+                           compile_cache="").compile_cache is None
