@@ -573,7 +573,9 @@ class WorkerBinarizer:
             if len(chunk_t) == self.chunk_frames:
                 frames = np.stack(chunk_f)
                 yield from feed(("chunk", chunk_t, chunk_i, frames))
-                self._warm_frame = frames[-1:]
+                # copy: a view would pin the whole chunk array (~100 MB
+                # at 1080p) in the parent until the next chunk
+                self._warm_frame = frames[-1:].copy()
                 chunk_t, chunk_i, chunk_f = [], [], []
                 out = drain_one(block=False)
                 if out is not None and out != "done":
