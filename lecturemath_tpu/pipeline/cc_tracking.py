@@ -447,16 +447,20 @@ class CCTracker:
 
         return group_images, group_boundaries
 
-    def clean_frames_from_groups(self, groups: List[List[int]],
-                                 group_boundaries: Dict[int, tuple],
-                                 groups_per_frame: List[List[int]],
-                                 group_ages: Dict[int, List[int]],
-                                 group_images: Dict[int, List[np.ndarray]]
-                                 ) -> List[np.ndarray]:
-        """Re-render per-frame clean binary (stable grouped content only)
-        (reference: frames_from_groups, :638-681)."""
+    def iter_clean_frames_from_groups(self, groups: List[List[int]],
+                                      group_boundaries: Dict[int, tuple],
+                                      groups_per_frame: List[List[int]],
+                                      group_ages: Dict[int, List[int]],
+                                      group_images: Dict[int,
+                                                         List[np.ndarray]]):
+        """Re-render per-frame clean binary (stable grouped content only),
+        one frame at a time (reference: frames_from_groups, :638-681).
+
+        A generator so full-lecture consumers (express ``save_artifacts``,
+        the cc_grouping stage) can PNG-compress each frame as it is
+        produced instead of materializing the whole uncompressed cube
+        (~1.9 GB at 3,600x960x540, ~7.5 GB at 1080p)."""
         next_segment = {gidx: 0 for gidx in group_ages}
-        clean_frames = []
 
         for img_idx, frame_groups in enumerate(groups_per_frame):
             frame = np.zeros((self.height, self.width), dtype=np.uint8)
@@ -467,9 +471,18 @@ class CCTracker:
                 segment_img = group_images[gidx][next_segment[gidx]]
                 g_min_x, g_max_x, g_min_y, g_max_y = group_boundaries[gidx]
                 frame[g_min_y:g_max_y + 1, g_min_x:g_max_x + 1] += segment_img
-            clean_frames.append(frame)
+            yield frame
 
-        return clean_frames
+    def clean_frames_from_groups(self, groups: List[List[int]],
+                                 group_boundaries: Dict[int, tuple],
+                                 groups_per_frame: List[List[int]],
+                                 group_ages: Dict[int, List[int]],
+                                 group_images: Dict[int, List[np.ndarray]]
+                                 ) -> List[np.ndarray]:
+        """List form of :meth:`iter_clean_frames_from_groups`."""
+        return list(self.iter_clean_frames_from_groups(
+            groups, group_boundaries, groups_per_frame, group_ages,
+            group_images))
 
 
 def compute_overlapping_cc_groups(ccs: Sequence[CC]):

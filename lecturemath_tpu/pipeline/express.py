@@ -152,7 +152,9 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
                            group_ages, group_images, group_boundaries)
 
     if save_artifacts:
-        clean = tracker.clean_frames_from_groups(
+        # iterator: compress each clean frame as it is rendered — the
+        # uncompressed cube is ~1.9 GB at 3,600x960x540 (~7.5 GB @1080p)
+        clean = tracker.iter_clean_frames_from_groups(
             groups, group_boundaries, groups_per_frame, group_ages,
             group_images)
         driver.store.save(
@@ -208,7 +210,7 @@ def run_lecture(driver: PipelineDriver, lecture: LectureInfo,
             config.get_int("VIDEO_SEGMENTATION_CONFLICTS_MIN_LENGTH", 25),
             weight_area, weight_pixels, weight_time)
     else:
-        clean = tracker.clean_frames_from_groups(
+        clean = tracker.iter_clean_frames_from_groups(
             groups, group_boundaries, groups_per_frame, group_ages,
             group_images)
         intervals = seg.segments_from_sums(

@@ -130,9 +130,9 @@ def stage03_cc_grouping(driver: PipelineDriver, lecture: LectureInfo,
                                           len(groups), group_of)
     group_images, group_boundaries = \
         tracker.compute_group_images(groups, group_ages, min_image_threshold)
-    clean = tracker.clean_frames_from_groups(groups, group_boundaries,
-                                             groups_per_frame, group_ages,
-                                             group_images)
+    clean = tracker.iter_clean_frames_from_groups(groups, group_boundaries,
+                                                  groups_per_frame,
+                                                  group_ages, group_images)
 
     cc_reconstructed = (frame_times, frame_indices, compress_png(clean))
     cc_conflict_info = (group_ages, conflicts)
