@@ -27,7 +27,7 @@ init + checkpoint load + a from-scratch XLA compile, serial with the
 stream):
 
 * **Persistent compile cache** (``DEVICE_WORKER_COMPILE_CACHE``, default
-  a shared per-user dir under the system tempdir): every child points
+  ``~/.cache/lecturemath/jax_cache``): every child points
   ``jax_compilation_cache_dir`` there, so respawn #2+ re-links the cached
   executable instead of recompiling — measured on the axon TPU backend
   (see PARITY.md "Full-lecture RSS").
@@ -67,12 +67,18 @@ _CHUNK_FRAMES = 16      # frames per parent->child message
 _FEED_DEPTH = 4         # chunks in flight toward the child
 _RESULT_DEPTH = 32      # drained batches buffered toward the parent
 _PRESPAWN_FRAC = 0.75   # spawn the spare at this fraction of the budget
+_MAX_SPARE_FAILURES = 3  # per stream; then fall back to sync respawns
 
 
 def default_compile_cache() -> str:
-    """Shared persistent-compile-cache dir for worker children (and any
-    other process that opts in). Keyed by uid so multi-user rigs don't
-    fight over permissions."""
+    """Persistent-compile-cache dir for worker children (and any other
+    process that opts in). Rooted in the user's home so another local
+    user can't pre-create/poison it (the child additionally refuses any
+    cache dir it doesn't own — see ``_child_main``); tempdir fallback is
+    uid-keyed for homeless service accounts."""
+    home = os.environ.get("HOME")
+    if home and os.path.isdir(home):
+        return os.path.join(home, ".cache", "lecturemath", "jax_cache")
     return os.path.join(tempfile.gettempdir(),
                         f"lecturemath_jax_cache_{os.getuid()}")
 
@@ -132,10 +138,16 @@ def _child_main(cfg_values: dict, platform: Optional[str],
         if platform:
             jax.config.update("jax_platforms", platform)
         if compile_cache:
-            os.makedirs(compile_cache, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", compile_cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
+            # serialized executables from this dir are deserialized and
+            # RUN — refuse a dir another user could write (poisoned-cache
+            # CWE-379): must be owned by us and not world-writable
+            os.makedirs(compile_cache, mode=0o700, exist_ok=True)
+            st = os.stat(compile_cache)
+            if st.st_uid == os.getuid() and not (st.st_mode & 0o002):
+                jax.config.update("jax_compilation_cache_dir",
+                                  compile_cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
         from .binarize import Binarizer
 
         binarizer = Binarizer.from_config(Config(dict(cfg_values)),
@@ -373,6 +385,7 @@ class WorkerBinarizer:
         self._active: Optional[_Child] = None
         self._spare: Optional[_Child] = None
         self._warm_frame: Optional[np.ndarray] = None
+        self._spare_failures = 0
 
     @classmethod
     def from_config(cls, config: Config, allow_random: bool = False,
@@ -425,8 +438,14 @@ class WorkerBinarizer:
         """Start/advance the spare's background warmup. Called at chunk
         boundaries with the active child's latest RSS report. Never raises
         past itself: a failed spare falls back to the synchronous respawn
-        the recycle path always supports."""
+        the recycle path always supports — but after
+        ``_MAX_SPARE_FAILURES`` startup deaths in one stream it stops
+        retrying (a down backend would otherwise fork a fresh JAX child
+        every other batch for the rest of the stream); failures are
+        visible as ``stream_stats["spare_failures"]``."""
         if not (self.prespawn and self.recycle_mb > 0):
+            return
+        if self._spare_failures >= _MAX_SPARE_FAILURES:
             return
         try:
             if self._spare is None:
@@ -446,26 +465,35 @@ class WorkerBinarizer:
                 self._spare.feed_q.put(None, timeout=5)
                 self._spare.warm_sent = True
         except Exception:
+            self._spare_failures += 1
+            self.stream_stats["spare_failures"] = self._spare_failures
             if self._spare is not None:
                 self._spare.close()
                 self._spare = None
 
-    def _promote_or_respawn(self) -> None:
-        """Replace the closed active child: take the (ideally warm) spare,
-        else spawn synchronously."""
+    def _take_spare(self) -> bool:
+        """Promote the (ideally warm) spare to active. False if there is
+        none or it failed — the caller decides whether to spawn now."""
         spare, self._spare = self._spare, None
-        if spare is not None:
-            try:
-                spare.wait_ready()
-                if spare.warm_sent:
-                    # discard the warmup stream's outputs
-                    while spare.get()[0] != "done":
-                        pass
-                self._active = spare
-                return
-            except Exception:
-                spare.close()
-        self._spawn()
+        if spare is None:
+            return False
+        try:
+            spare.wait_ready()
+            if spare.warm_sent:
+                # discard the warmup stream's outputs
+                while spare.get()[0] != "done":
+                    pass
+            self._active = spare
+            return True
+        except Exception:
+            spare.close()
+            return False
+
+    def _promote_or_respawn(self) -> None:
+        """Replace the closed active child: take the spare, else spawn
+        synchronously."""
+        if not self._take_spare():
+            self._spawn()
 
     # ------------------------------------------------------------ streaming
 
@@ -476,6 +504,13 @@ class WorkerBinarizer:
         stats = self.stream_stats = {"source_s": 0.0, "dispatch_s": 0.0,
                                      "drain_s": 0.0, "downscale_s": 0.0,
                                      "recycles": 0, "respawn_stall_s": 0.0}
+        self._spare_failures = 0
+        if self._spare is not None:
+            # a never-promoted spare from a previous stream carries that
+            # stream's warmup state (shapes, upload-format resolution) —
+            # retire it; this stream re-warms its own
+            self._spare.close()
+            self._spare = None
         if self._active is None or not self._active.alive:
             if self._active is not None:
                 self._active.close()
@@ -555,11 +590,18 @@ class WorkerBinarizer:
                     break
                 yield out
 
-        def recycle():
+        def recycle(final: bool = False):
             nonlocal need_recycle
             t0 = pc()
             self._active.close()
-            self._promote_or_respawn()
+            if final:
+                # end of stream: hand off to the spare if one is up, but
+                # never block on a fresh spawn nobody may consume — the
+                # next stream spawns lazily (the pre-prespawn semantics)
+                if not self._take_spare():
+                    self._active = None
+            else:
+                self._promote_or_respawn()
             stats["respawn_stall_s"] += pc() - t0
             self.recycles += 1
             stats["recycles"] += 1
@@ -573,9 +615,10 @@ class WorkerBinarizer:
             if len(chunk_t) == self.chunk_frames:
                 frames = np.stack(chunk_f)
                 yield from feed(("chunk", chunk_t, chunk_i, frames))
-                # copy: a view would pin the whole chunk array (~100 MB
-                # at 1080p) in the parent until the next chunk
-                self._warm_frame = frames[-1:].copy()
+                if self.prespawn and self.recycle_mb > 0:
+                    # copy: a view would pin the whole chunk array
+                    # (~100 MB at 1080p) in the parent until the next chunk
+                    self._warm_frame = frames[-1:].copy()
                 chunk_t, chunk_i, chunk_f = [], [], []
                 out = drain_one(block=False)
                 if out is not None and out != "done":
@@ -593,7 +636,8 @@ class WorkerBinarizer:
             # budget crossed in the final drain: retire the child now so
             # the next stream (e.g. the next lecture) starts fresh — with
             # a warm spare available this is a handoff, not a respawn
-            recycle()
+            recycle(final=True)
+        self._warm_frame = None
 
     def process_source(self, source: VideoFrameSource, frames_limit: int = 0,
                        invert: bool = True):

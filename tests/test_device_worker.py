@@ -236,3 +236,25 @@ def test_compile_cache_config_plumbing(tmp_path):
     assert mk("\nDEVICE_WORKER_PRESPAWN = false\n").prespawn is False
     assert WorkerBinarizer(Config.from_file(str(root / "test.conf")),
                            compile_cache="").compile_cache is None
+
+
+def test_leftover_spare_retired_at_stream_start(tmp_path):
+    """A never-promoted spare from a previous stream carries that
+    stream's warmup state (shapes, upload-format resolution) — a new
+    stream must retire it rather than promote it later."""
+    root = build_cli_workspace(tmp_path, "devworker_stale", n_frames=6)
+    config = Config.from_file(str(root / "test.conf"))
+
+    worker = WorkerBinarizer(config, chunk_frames=3)
+    try:
+        _, _, first = worker.process_source(_source(root))
+        stale = worker._new_child()
+        worker._spare = stale
+        _, _, second = worker.process_source(_source(root))
+    finally:
+        worker.close()
+
+    assert stale.proc is None          # closed at stream start
+    assert worker._spare is None
+    for got, want in zip(second, first):
+        np.testing.assert_array_equal(got, want)
