@@ -1255,7 +1255,11 @@ def main():
         print(json.dumps(result))
         return
     if "--long" in sys.argv:
-        result = measure_long()
+        # LM_BENCH_LONG_FRAMES: shrink the soak so one lane fits inside a
+        # short backend-UP window (flapping-backend regime); the recycle /
+        # containment mechanics are fully exercised from ~1,500 frames
+        result = measure_long(
+            n_frames=int(os.environ.get("LM_BENCH_LONG_FRAMES", "3600")))
         watchdog.cancel()
         print(json.dumps(result))
         return
