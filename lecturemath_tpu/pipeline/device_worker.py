@@ -31,9 +31,8 @@ stream):
   ``jax_compilation_cache_dir`` there, so respawn #2+ re-links the cached
   executable instead of recompiling — measured on the axon TPU backend
   (see PARITY.md "Full-lecture RSS").
-* **Hot-spare prespawn** (``DEVICE_WORKER_PRESPAWN``, default on): when
-  the child's reported RSS crosses ~3/4 of the budget, the NEXT child is
-  spawned immediately and warmed in the background — backend init,
+* **Hot-spare prespawn** (``DEVICE_WORKER_PRESPAWN``, default on): the
+  NEXT child is spawned and warmed in the background — backend init,
   checkpoint load, and a one-frame throwaway stream that compiles the
   steady-state batch shape (partial batches are padded to the full batch
   size, video.py ``_pack``, so one frame exercises the exact program) —
@@ -41,6 +40,19 @@ stream):
   boundary the stream switches to the warm spare and the stall collapses
   to a queue handoff. Warm outputs are discarded; per-frame results are
   batch-composition-invariant, so the switch stays bit-exact.
+
+  By default the spare is STANDING (``DEVICE_WORKER_PRESPAWN_EAGER``,
+  default on): it spawns at stream start and again right after every
+  promotion, so it has the whole budget period to come up. The original
+  trigger — spawn when the child's RSS crosses ~3/4 of the budget —
+  remains as the ``eager=false`` mode, but it was measured insufficient
+  on this rig: the axon backend has slow-init windows (~80 s for init +
+  a probe matmul), while 3/4->1x budget is only ~12-21 s of stream at
+  540p/30 fps, so the round-5 full soak still stalled ~144 s per recycle
+  waiting on a cold spare. A standing spare costs one idle child
+  (~0.9 GB RSS, no uploads beyond the one warm frame) and removes the
+  race entirely whenever the budget period exceeds the backend's init
+  time.
 
 Enable on the express pipeline with ``DEVICE_WORKER_RECYCLE_MB > 0``
 (single-process, meshless runs only — a multi-chip mesh keeps the device
@@ -363,6 +375,7 @@ class WorkerBinarizer:
                  platform: Optional[str] = None,
                  binarizer_kwargs: Optional[dict] = None,
                  prespawn: bool = True,
+                 prespawn_eager: bool = True,
                  compile_cache: Optional[str] = None):
         self._cfg_values = dict(config._values)
         self.recycle_mb = float(recycle_mb)
@@ -370,6 +383,7 @@ class WorkerBinarizer:
         self.allow_random = allow_random
         self.binarizer_kwargs = dict(binarizer_kwargs or {})
         self.prespawn = bool(prespawn)
+        self.prespawn_eager = bool(prespawn_eager)
         if compile_cache is None:
             compile_cache = default_compile_cache()
         self.compile_cache = (None if str(compile_cache).lower()
@@ -397,6 +411,9 @@ class WorkerBinarizer:
                                          _CHUNK_FRAMES))
         kwargs.setdefault("prespawn",
                           config.get_bool("DEVICE_WORKER_PRESPAWN", True))
+        kwargs.setdefault("prespawn_eager",
+                          config.get_bool("DEVICE_WORKER_PRESPAWN_EAGER",
+                                          True))
         cache = config.get_str("DEVICE_WORKER_COMPILE_CACHE", "auto")
         if cache != "auto":
             kwargs.setdefault("compile_cache", cache)
@@ -449,7 +466,8 @@ class WorkerBinarizer:
             return
         try:
             if self._spare is None:
-                if rss > _PRESPAWN_FRAC * self.recycle_mb:
+                if (self.prespawn_eager
+                        or rss > _PRESPAWN_FRAC * self.recycle_mb):
                     self._spare = self._new_child()
                 return
             if self._spare.warm_sent or self._warm_frame is None:
@@ -516,6 +534,7 @@ class WorkerBinarizer:
                 self._active.close()
             self._spawn()
         self._active.feed_q.put(("stream", invert))
+        self._maybe_start_spare(0.0)  # eager mode: standing spare from t=0
 
         import time
 
@@ -602,6 +621,9 @@ class WorkerBinarizer:
                     self._active = None
             else:
                 self._promote_or_respawn()
+                # eager mode: the next spare starts warming now, not at
+                # 3/4 budget — it gets the whole budget period to init
+                self._maybe_start_spare(0.0)
             stats["respawn_stall_s"] += pc() - t0
             self.recycles += 1
             stats["recycles"] += 1

@@ -234,8 +234,57 @@ def test_compile_cache_config_plumbing(tmp_path):
     assert mk("\nDEVICE_WORKER_COMPILE_CACHE = /tmp/custom_cache\n"
               ).compile_cache == "/tmp/custom_cache"
     assert mk("\nDEVICE_WORKER_PRESPAWN = false\n").prespawn is False
+    assert mk("").prespawn_eager is True
+    assert mk("\nDEVICE_WORKER_PRESPAWN_EAGER = false\n"
+              ).prespawn_eager is False
     assert WorkerBinarizer(Config.from_file(str(root / "test.conf")),
                            compile_cache="").compile_cache is None
+
+
+def test_eager_standing_spare(tmp_path):
+    """prespawn_eager (default): the spare exists from stream start and is
+    respawned right after every promotion — it never waits for the 3/4
+    budget trigger (which loses the race against slow backend-init
+    windows; see the module docstring). Stream results stay bit-exact
+    under maximum recycle churn."""
+    root = build_cli_workspace(tmp_path, "devworker_eager", n_frames=12)
+    config = Config.from_file(str(root / "test.conf"))
+
+    ref = Binarizer.from_config(config)
+    _, _, ref_frames = ref.process_source(_source(root))
+
+    worker = WorkerBinarizer(config, recycle_mb=1.0, chunk_frames=4,
+                             binarizer_kwargs={"batch_size": 4})
+    try:
+        assert worker.prespawn_eager is True
+        gen = worker.stream_source(_source(root))
+        frames = []
+        first = next(gen)
+        # standing spare: up from stream start, before any RSS report
+        # could have crossed 3/4 budget (spare_failures would show a
+        # spawn that died instead)
+        assert (worker._spare is not None
+                or worker.stream_stats.get("spare_failures"))
+        frames.extend(first[2])
+        for _, _, batch in gen:
+            frames.extend(batch)
+    finally:
+        worker.close()
+
+    assert worker.recycles >= 1
+    for got, want in zip(frames, ref_frames):
+        np.testing.assert_array_equal(got, want)
+
+    # eager=False keeps the budget-fraction trigger: below 3/4 budget no
+    # spare is started
+    lazy = WorkerBinarizer(config, recycle_mb=1e9, prespawn_eager=False)
+    try:
+        lazy._maybe_start_spare(0.0)
+        assert lazy._spare is None
+        lazy._maybe_start_spare(0.9e9)
+        assert lazy._spare is not None
+    finally:
+        lazy.close()
 
 
 def test_leftover_spare_retired_at_stream_start(tmp_path):
