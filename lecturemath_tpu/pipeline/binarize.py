@@ -76,6 +76,115 @@ def default_batch_size(width: int, height: int,
     return batch
 
 
+class _AsyncDrainer:
+    """Background drain thread for ``Binarizer.stream_source``.
+
+    In the synchronous stream, result downloads only progress while the
+    generator is being pulled — any host work the CONSUMER does between
+    batches (CC tracking, PNG encode) stops the fetch clock, so at scale
+    wall ~= transfers + consumer work. This thread fetches batch k+1 while
+    the consumer processes batch k: ``jax.device_get`` releases the GIL
+    for the transfer, so the two genuinely overlap even on one core.
+
+    Single-process only: in multi-process runs ``Binarizer._fetch`` issues
+    a replicating collective, and two threads interleaving collective
+    launches breaks the cross-process program order (deadlock risk) —
+    ``Binarizer`` forces the synchronous path there.
+
+    Yield order, values, and the in-flight bound (``depth`` batches beyond
+    the one being drained) are identical to the synchronous path."""
+
+    _DONE = object()
+
+    def __init__(self, drain_fn, depth: int, stats: dict):
+        import queue
+        import threading
+
+        self._drain_fn = drain_fn
+        self._depth = depth
+        self._stats = stats
+        self._in = queue.Queue()
+        self._out = queue.Queue(maxsize=depth + 2)
+        self._stop = False
+        self._inflight = 0
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="lm-stream-drain")
+        self._thread.start()
+
+    def _run(self):
+        from time import perf_counter as pc
+        while True:
+            entry = self._in.get()
+            if entry is self._DONE or self._stop:
+                self._put(self._DONE)
+                return
+            t0 = pc()
+            try:
+                out = self._drain_fn(entry)
+            except BaseException as exc:  # noqa: BLE001 — relayed to consumer
+                self._put(("err", exc))
+                return
+            self._stats["drain_s"] += pc() - t0
+            if not self._put(("ok", out)):
+                return
+
+    def _put(self, item) -> bool:
+        """Bounded put that gives up if the consumer abandoned the stream
+        (close() sets _stop) — never leaves this thread blocked forever."""
+        import queue
+        while not self._stop:
+            try:
+                self._out.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _take(self):
+        item = self._out.get()
+        if item is self._DONE:
+            raise RuntimeError("stream drain thread exited early")
+        tag, val = item
+        if tag == "err":
+            self._stop = True
+            raise val
+        self._inflight -= 1
+        return val
+
+    def push(self, entry):
+        """Queue one in-flight entry; returns [result] when the in-flight
+        bound forces a drain (same cadence as the synchronous path)."""
+        self._in.put(entry)
+        self._inflight += 1
+        if self._inflight > self._depth:
+            return [self._take()]
+        return []
+
+    def finish(self):
+        """Yield the remaining in-flight results in order."""
+        self._in.put(self._DONE)
+        while True:
+            item = self._out.get()
+            if item is self._DONE:
+                return
+            tag, val = item
+            if tag == "err":
+                raise val
+            yield val
+
+    def close(self):
+        """Abandonment path (consumer broke out of the generator): unblock
+        and discard; the daemon thread exits on its next queue interaction."""
+        import queue
+        self._stop = True
+        self._in.put(self._DONE)
+        try:
+            while True:
+                self._out.get_nowait()
+        except queue.Empty:
+            pass
+
+
 class Binarizer:
     """Batched TPU binarizer for a stream of RGB frames."""
 
@@ -86,7 +195,8 @@ class Binarizer:
                  fold_bn: bool = True, s2d_heads: bool = True,
                  upload_format: str = "auto", downscale: str = "host",
                  downscale_filter: str = "lanczos",
-                 max_model_pixels: int = 2_500_000):
+                 max_model_pixels: int = 2_500_000,
+                 async_drain: Optional[bool] = None):
         """``mesh`` (jax.sharding.Mesh with 'data'/'model' axes) shards the
         frame axis across chips — params replicate (or channel-shard over
         'model' when that axis is >1) and GSPMD inserts the collectives.
@@ -123,7 +233,15 @@ class Binarizer:
         2.5 MP (FCN_lecturenet.py:434) — note 1920x1080 is 2.07 MP, so
         real lectures run the net at FULL resolution there. Lowering the
         cap (e.g. to 2_000_000) trades fidelity for ~4x speed per halving.
-        Config: BINARIZATION_MAX_PIXELS."""
+        Config: BINARIZATION_MAX_PIXELS.
+
+        ``async_drain`` (default: on for single-process runs): drain
+        stream results on a background thread so transfers overlap the
+        consumer's host work between batches (see _AsyncDrainer). Yield
+        order and values are identical. Forced OFF when
+        jax.process_count() > 1 — the replicating fetch is a collective
+        and must stay in cross-process program order.
+        Config: STREAM_ASYNC_DRAIN."""
         want_fold = fold_bn and not model.fold_bn and "batch_stats" in variables
         want_s2d = s2d_heads and not model.s2d_heads
         if want_fold or want_s2d:
@@ -192,6 +310,9 @@ class Binarizer:
         self.downscale = downscale
         self.downscale_filter = downscale_filter
         self.max_model_pixels = max_model_pixels
+        if async_drain is None:
+            async_drain = True
+        self.async_drain = bool(async_drain) and jax.process_count() == 1
         if force_binary:
             from ..models.fcn_lecturenet import make_packed_binarizer
 
@@ -222,6 +343,8 @@ class Binarizer:
         kwargs.setdefault("max_model_pixels",
                           config.get_int("BINARIZATION_MAX_PIXELS",
                                          2_500_000))
+        kwargs.setdefault("async_drain",
+                          config.get_bool("STREAM_ASYNC_DRAIN", True))
 
         model_dir = config.get_str("BINARIZATION_FCN_LECTURENET_DIR", "models")
         model_file = config.get_str("BINARIZATION_FCN_LECTURENET_FILENAME",
@@ -353,81 +476,100 @@ class Binarizer:
                 frames.append(img)
             return batch.times, batch.indices, frames
 
-        batches = self._batched(source, frames_limit)
-        while True:
-            t0 = pc()
-            batch = next(batches, None)
-            stats["source_s"] += pc() - t0
-            if batch is None:
-                break
-            if first is None:
-                first = batch
-                h, w = batch.frames.shape[1:3]
-                full_size = (w, h)
-                model_size = resolve_model_size(w, h, self.max_model_pixels)
-                device_halvings = 0
-                if (self.downscale == "device" and use_packed and
-                        model_size != full_size):
-                    dw, dh = full_size
-                    while dw * dh > self.max_model_pixels:
-                        dw, dh = int(dw / 2), int(dh / 2)
-                        device_halvings += 1
-                # I420 needs even width and height % 4 at the UPLOAD size
-                # (full-res when the halving runs on device) — the U/V
-                # planes must reshape to (H/2, W/2) from H/4 buffer rows
-                upload_size = full_size if device_halvings else model_size
-                if self.upload_format == "yuv420" and \
-                        (upload_size[0] % 2 or upload_size[1] % 4):
-                    self.upload_format = "rgb"
-                # rebuild key tracks BOTH the upload format and the on-device
-                # halving count: a reused Binarizer must not keep a halving
-                # fn for a later stream that needs none (or vice versa), and
-                # an unchanged key must not re-jit (a fresh jit object means
-                # a full retrace+compile per lecture)
-                if use_packed and \
-                        self._packed_fn_key != (self.upload_format,
-                                                device_halvings):
-                    from ..models.fcn_lecturenet import make_packed_binarizer
-
-                    self._packed_fn = make_packed_binarizer(
-                        self.model, self.variables, threshold=self.threshold,
-                        input_format=self.upload_format,
-                        pre_halvings=device_halvings)
-                    self._packed_fn_key = (self.upload_format,
-                                           device_halvings)
-
-            frames = batch.frames
-            if model_size != full_size and not device_halvings:
+        # async drain: a background thread fetches batch k+1 while the
+        # consumer's host work (tracking, encode) runs on batch k — the
+        # synchronous path only progresses downloads while the generator
+        # is being pulled. Same yield order/values; see _AsyncDrainer.
+        drainer = (_AsyncDrainer(drain, self.pipeline_depth, stats)
+                   if self.async_drain else None)
+        if drainer is not None:
+            stats["drain_async"] = 1.0
+        try:
+            batches = self._batched(source, frames_limit)
+            while True:
                 t0 = pc()
-                frames = _downscale_batch(frames, model_size,
-                                          self.downscale_filter)
-                stats["downscale_s"] += pc() - t0
-
-            if use_packed and self.upload_format == "yuv420":
-                from ..models.fcn_lecturenet import rgb_to_yuv420_host
-
-                t0 = pc()
-                frames = rgb_to_yuv420_host(frames)
+                batch = next(batches, None)
                 stats["source_s"] += pc() - t0
+                if batch is None:
+                    break
+                if first is None:
+                    first = batch
+                    h, w = batch.frames.shape[1:3]
+                    full_size = (w, h)
+                    model_size = resolve_model_size(w, h, self.max_model_pixels)
+                    device_halvings = 0
+                    if (self.downscale == "device" and use_packed and
+                            model_size != full_size):
+                        dw, dh = full_size
+                        while dw * dh > self.max_model_pixels:
+                            dw, dh = int(dw / 2), int(dh / 2)
+                            device_halvings += 1
+                    # I420 needs even width and height % 4 at the UPLOAD size
+                    # (full-res when the halving runs on device) — the U/V
+                    # planes must reshape to (H/2, W/2) from H/4 buffer rows
+                    upload_size = full_size if device_halvings else model_size
+                    if self.upload_format == "yuv420" and \
+                            (upload_size[0] % 2 or upload_size[1] % 4):
+                        self.upload_format = "rgb"
+                    # rebuild key tracks BOTH the upload format and the on-device
+                    # halving count: a reused Binarizer must not keep a halving
+                    # fn for a later stream that needs none (or vice versa), and
+                    # an unchanged key must not re-jit (a fresh jit object means
+                    # a full retrace+compile per lecture)
+                    if use_packed and \
+                            self._packed_fn_key != (self.upload_format,
+                                                    device_halvings):
+                        from ..models.fcn_lecturenet import make_packed_binarizer
 
-            t0 = pc()
-            if use_packed:
-                device_binary = self._packed_fn(self._to_device(frames))
-            else:
-                device_binary, _, _ = self._binarize_fn(self._to_device(frames))
-            stats["dispatch_s"] += pc() - t0
-            pending.append((device_binary, batch))
-            if len(pending) > self.pipeline_depth:
+                        self._packed_fn = make_packed_binarizer(
+                            self.model, self.variables, threshold=self.threshold,
+                            input_format=self.upload_format,
+                            pre_halvings=device_halvings)
+                        self._packed_fn_key = (self.upload_format,
+                                               device_halvings)
+
+                frames = batch.frames
+                if model_size != full_size and not device_halvings:
+                    t0 = pc()
+                    frames = _downscale_batch(frames, model_size,
+                                              self.downscale_filter)
+                    stats["downscale_s"] += pc() - t0
+
+                if use_packed and self.upload_format == "yuv420":
+                    from ..models.fcn_lecturenet import rgb_to_yuv420_host
+
+                    t0 = pc()
+                    frames = rgb_to_yuv420_host(frames)
+                    stats["source_s"] += pc() - t0
+
                 t0 = pc()
-                out = drain(pending.pop(0))
-                stats["drain_s"] += pc() - t0
-                yield out
+                if use_packed:
+                    device_binary = self._packed_fn(self._to_device(frames))
+                else:
+                    device_binary, _, _ = self._binarize_fn(self._to_device(frames))
+                stats["dispatch_s"] += pc() - t0
+                if drainer is not None:
+                    for out in drainer.push((device_binary, batch)):
+                        yield out
+                else:
+                    pending.append((device_binary, batch))
+                    if len(pending) > self.pipeline_depth:
+                        t0 = pc()
+                        out = drain(pending.pop(0))
+                        stats["drain_s"] += pc() - t0
+                        yield out
 
-        for entry in pending:
-            t0 = pc()
-            out = drain(entry)
-            stats["drain_s"] += pc() - t0
-            yield out
+            if drainer is not None:
+                yield from drainer.finish()
+            else:
+                for entry in pending:
+                    t0 = pc()
+                    out = drain(entry)
+                    stats["drain_s"] += pc() - t0
+                    yield out
+        finally:
+            if drainer is not None:
+                drainer.close()
 
     def process_source(self, source: VideoFrameSource, frames_limit: int = 0,
                        invert: bool = True):
