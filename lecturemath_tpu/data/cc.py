@@ -213,7 +213,7 @@ def extract_ccs(binary: np.ndarray, ages: Optional[np.ndarray] = None,
         if sl is None:
             continue
         sy, sx = sl
-        crop = (labels[sy, sx] == cc_id + 1).astype(np.uint8) * 255
+        crop = (labels[sy, sx] == cc_id + 1).view(np.uint8) * 255
         cc = CC(cc_id, int(sx.start), int(sx.stop) - 1, int(sy.start), int(sy.stop) - 1,
                 count, crop, float(min_ages[cc_id]), float(min_ages[cc_id]))
         components.append(cc)
@@ -227,14 +227,18 @@ def _extract_ccs_native(binary: np.ndarray, ages: Optional[np.ndarray],
 
     labels, stats, min_ages = native.label_and_stats(binary, ages)
     components = []
-    for cc_id in range(len(stats)):
-        min_x, max_x, min_y, max_y, size = (int(v) for v in stats[cc_id])
+    # tolist() converts the whole stats table to python ints in one C pass —
+    # per-value int() in a genexpr showed up hot at full-lecture scale
+    stats_rows = stats.tolist()
+    ages_rows = min_ages.tolist() if ages is not None else None
+    for cc_id, (min_x, max_x, min_y, max_y, size) in enumerate(stats_rows):
         if filter_small and size < min_pixels:
             continue
         crop = (labels[min_y:max_y + 1, min_x:max_x + 1] == cc_id + 1)
-        age = float(min_ages[cc_id]) if ages is not None else 0.0
+        age = float(ages_rows[cc_id]) if ages_rows is not None else 0.0
+        # bool -> uint8 via view (same byte layout) skips the astype copy
         components.append(CC(cc_id, min_x, max_x, min_y, max_y, size,
-                             crop.astype(np.uint8) * 255, age, age))
+                             crop.view(np.uint8) * 255, age, age))
     return components
 
 

@@ -20,7 +20,6 @@ sweep), and active-set state lives in growable numpy arrays.
 
 from __future__ import annotations
 
-from dataclasses import replace
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -89,7 +88,12 @@ class CCTracker:
         if not self.keep_frame_masks:
             # slim copies only in the per-frame log — the first-sighting
             # object kept by _add_unique in unique_ccs stays intact
-            frame_entries = [(uidx, replace(cc, img=None))
+            # direct construction: dataclasses.replace re-runs field
+            # introspection per call and was ~13% of tracking CPU at
+            # full-lecture scale (one call per raw CC sighting)
+            frame_entries = [(uidx, CC(cc.cc_id, cc.min_x, cc.max_x,
+                                       cc.min_y, cc.max_y, cc.size, None,
+                                       cc.start_time, cc.end_time))
                              for uidx, cc in frame_entries]
         self.cc_idx_per_frame.append(frame_entries)
         self.img_idx += 1
@@ -116,34 +120,38 @@ class CCTracker:
 
         # batch all candidate-pair overlap counts in one native call
         # (semantically identical to per-pair checks: acceptance is still
-        # first-passing-candidate in ascending unique-index order)
+        # first-passing-candidate in ascending unique-index order).
+        # ``_active`` is ascending by construction — uidx values are
+        # append-only (_add_unique) and retirement preserves order — so
+        # ``active[pair_cols]`` is already sorted within each row and the
+        # per-row candidate list is a searchsorted slice, not a sort+dict.
         pair_rows, pair_cols = np.nonzero(hits)
-        matched_counts = None
+        cand_unique = active[pair_cols]
+        row_starts = np.searchsorted(pair_rows, np.arange(len(current) + 1))
+        matched = None
         if len(pair_rows) > 8:
             from .. import native
 
             if native.available():
-                cand_unique = active[pair_cols]
                 packed_prev = native.PackedMasks(
                     [self.unique_ccs[u] for u in cand_unique])
                 packed_cur = native.PackedMasks(current)
                 matched = native.batch_overlap(
                     packed_cur, packed_prev,
                     np.stack([pair_rows, np.arange(len(pair_rows))], axis=1))
-                matched_counts = {
-                    (int(pair_rows[k]), int(cand_unique[k])): int(matched[k])
-                    for k in range(len(pair_rows))}
 
+        cand_list = cand_unique.tolist()
         for cur_idx, cc in enumerate(current):
             # candidate unique indices in ascending order (matches the
             # reference's sorted merge of interval-index hits)
-            cand = np.sort(active[hits[cur_idx]])
-            self.candidates_tested += len(cand)
+            lo, hi = int(row_starts[cur_idx]), int(row_starts[cur_idx + 1])
+            self.candidates_tested += hi - lo
             found = None
-            for uidx in cand:
+            for k in range(lo, hi):
+                uidx = cand_list[k]
                 prev_cc = self.unique_ccs[uidx]
-                if matched_counts is not None:
-                    match = matched_counts[(cur_idx, int(uidx))]
+                if matched is not None:
+                    match = int(matched[k])
                     recall = match / float(cc.size)
                     precision = match / float(prev_cc.size)
                 else:
